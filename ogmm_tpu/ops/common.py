@@ -1,0 +1,103 @@
+"""Batched point-cloud primitives (channel-last, fixed-shape, jit-safe).
+
+Replaces reference lib/utils.py:12-66 (square_distance / knn /
+get_graph_feature) and lib/utils.py:111-127, 222-230. All shapes are static so
+XLA tiles the N x N distance matmuls onto the MXU; gathers are
+jnp.take_along_axis (vectorised one-hot-free gathers on TPU).
+
+Layout: points/features are (B, N, C) with channels last — C rides the
+128-lane dimension. The reference uses (B, C, N); our nn layer adapts at its
+boundary only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
+                    normalize: bool = False) -> jnp.ndarray:
+    """Pairwise squared euclidean distance (B, N, C) x (B, M, C) -> (B, N, M).
+
+    Reference: lib/utils.py:12-34. `normalize=True` assumes unit-norm inputs
+    and returns 2 - 2 <x, y> (lib/utils.py:29-30).
+
+    Geometry matmuls run at Precision.HIGHEST: on TPU the default matmul path
+    feeds the MXU bf16 operands, and ~1e-2 distance error can flip kNN graph
+    topology / ICP correspondences. These (B, N, M<=1024, C=3) contractions are
+    tiny, so full fp32 costs nothing measurable.
+    """
+    inner = jnp.einsum('bnc,bmc->bnm', src, dst,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if normalize:
+        return 2.0 - 2.0 * inner
+    d = (src ** 2).sum(-1)[..., :, None] + (dst ** 2).sum(-1)[..., None, :] - 2.0 * inner
+    return jnp.maximum(d, 1e-12)
+
+
+def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
+        normalize: bool = False) -> jnp.ndarray:
+    """Indices of the k nearest neighbours of each src point among tgt.
+
+    (B, N, C) x (B, M, C) -> int32 (B, N, k), sorted by ascending distance.
+    Reference: lib/utils.py:37-44.
+    """
+    dist = square_distance(src, tgt, normalize)
+    _, idx = jax.lax.top_k(-dist, k)  # top_k is sorted descending => ascending distance
+    return idx
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows: (B, N, C) indexed by int (B, S) -> (B, S, C).
+
+    Reference: lib/utils.py:111-127.
+    """
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbour features: (B, N, C) + int (B, N, k) -> (B, N, k, C)."""
+    B, N, k = idx.shape
+    flat = jnp.take_along_axis(points, idx.reshape(B, N * k)[..., None], axis=1)
+    return flat.reshape(B, N, k, points.shape[-1])
+
+
+def graph_feature(x: jnp.ndarray, k: int, idx: jnp.ndarray | None = None
+                  ) -> jnp.ndarray:
+    """EdgeConv features: concat[neighbor - x, x] -> (B, N, k, 2C).
+
+    Reference: lib/utils.py:47-66 (`get_graph_feature`), channel-first there
+    ((B, 2C, N, k)); here channel-last so the following 1x1 convs are Dense
+    layers on the lane dimension.
+    """
+    if idx is None:
+        idx = knn(x, x, k)
+    neigh = gather_neighbors(x, idx)              # (B, N, k, C)
+    center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
+    return jnp.concatenate([neigh - center, center], axis=-1)
+
+
+def cos_similarity(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity matrix (B, N, D) x (B, M, D) -> (B, N, M).
+
+    Reference: lib/utils.py:222-226.
+    """
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    return jnp.einsum('bnd,bmd->bnm', x, y, preferred_element_type=jnp.float32)
+
+
+def cos_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """2 - 2 cos_sim. Reference: lib/utils.py:229-230."""
+    return 2.0 - 2.0 * cos_similarity(x, y)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize(p=2) equivalent (torch clamps the norm at 1e-12)."""
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def cdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean (not squared) distance matrix, torch.cdist equivalent."""
+    return jnp.sqrt(square_distance(x, y))

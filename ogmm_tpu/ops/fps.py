@@ -1,0 +1,61 @@
+"""Farthest-point sampling as a batched lax.fori_loop.
+
+Reference: lib/utils.py:170-198 (torch, batched, sequential python loop) and
+datasets/datautils.py:249-272 (numpy per-cloud). The 128-step serial chain is
+inherent to FPS; each step is a fully-vectorised (B, N) distance update +
+argmax on the VPU, so the loop body is cheap and the whole thing stays
+on-device with zero host sync.
+
+Randomness: the reference's non-center variant uses *unseeded*
+torch.randint (lib/utils.py:190). We thread an explicit jax PRNG key instead —
+real determinism (the reference's --seed flag is dead, configs/cfgs.py:58).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("npoint", "is_center"))
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          is_center: bool = False,
+                          key: jax.Array | None = None) -> jnp.ndarray:
+    """Sample `npoint` indices per cloud by farthest-point traversal.
+
+    Args:
+      xyz: (B, N, 3) points.
+      npoint: number of samples (static).
+      is_center: seed traversal from the point farthest from the centroid
+        (deterministic; reference lib/utils.py:183-188). Otherwise start from
+        a random index drawn from `key` (or index 0 if no key given).
+      key: PRNG key for the random start.
+
+    Returns: int32 (B, npoint) indices.
+    """
+    B, N, _ = xyz.shape
+    distance = jnp.full((B, N), 1e10, dtype=xyz.dtype)
+    if is_center:
+        centroid = xyz.mean(axis=1, keepdims=True)
+        dist = ((xyz - centroid) ** 2).sum(-1)
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+    elif key is not None:
+        farthest = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        farthest = jnp.zeros((B,), dtype=jnp.int32)
+
+    centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+
+    def body(i, carry):
+        centroids, distance, farthest = carry
+        centroids = centroids.at[:, i].set(farthest)
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B,1,3)
+        dist = ((xyz - centroid) ** 2).sum(-1)
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return centroids, distance, farthest
+
+    centroids, _, _ = jax.lax.fori_loop(0, npoint, body, (centroids0, distance, farthest))
+    return centroids

@@ -1,0 +1,174 @@
+"""GMM moment estimation and Sinkhorn-EM weighted k-means (overlap-guided).
+
+Replaces reference lib/utils.py:130-167 (gmm_params / og_params),
+lib/utils.py:201-219 (wkeans), lib/utils.py:244-266 (anchor helpers) and
+lib/utils.py:269-291 (wkeans_plus). Differences by design:
+
+  * torch.no_grad()/.detach() become jax.lax.stop_gradient (reference
+    lib/utils.py:278-289: gradients only flow through the final node_feats
+    moment step — preserved exactly here).
+  * The 10-iteration EM loop is a lax.scan over fixed trips; the nested
+    Sinkhorn is the fixed-iteration scan from ops/sinkhorn.py.
+  * Everything is channel-last (B, N, C).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ogmm_tpu.ops.common import (cdist, index_points, l2_normalize,
+                                 square_distance)
+from ogmm_tpu.ops.fps import farthest_point_sample
+from ogmm_tpu.ops.sinkhorn import sinkhorn
+
+
+def gmm_params(gamma: jnp.ndarray, pts: jnp.ndarray,
+               return_sigma: bool = False):
+    """Mixture weights / means (/ isotropic covariances) from responsibilities.
+
+    gamma: (B, N, J) responsibilities; pts: (B, N, D).
+    Returns pi (B, J), mu (B, J, D) [, sigma (B, J, D, D) diagonal-isotropic].
+    Reference: lib/utils.py:130-149.
+    """
+    N = gamma.shape[1]
+    D = pts.shape[-1]
+    pi = gamma.mean(axis=1)                      # (B, J)
+    npi = pi * N + 1e-5
+    mu = jnp.einsum('bnj,bnd->bjd', gamma, pts,
+                    preferred_element_type=jnp.float32) / npi[..., None]
+    if not return_sigma:
+        return pi, mu
+    diff = pts[:, :, None, :] - mu[:, None, :, :]          # (B, N, J, D)
+    # isotropic: mean squared distance along each axis, times identity
+    sq = jnp.einsum('bnjd,bnjd->bnj', diff, diff)          # (B, N, J) = |diff|^2
+    var = jnp.einsum('bnj,bnj->bj', sq, gamma) / npi       # (B, J)
+    eye = jnp.eye(D, dtype=pts.dtype)
+    sigma = var[..., None, None] * eye
+    return pi, mu, sigma
+
+
+def og_params(pts, gamma, o_score=None, feature=None):
+    """Overlap-guided GMM params with an explicit non-overlap component.
+
+    Reference: lib/utils.py:152-167. gamma (B,N,J) is reweighted by the
+    overlap score and a (1-score) trash column is appended.
+    """
+    if o_score is not None:
+        gamma_ex = (1.0 - o_score)[..., None]
+        score = jnp.concatenate([gamma * o_score[..., None], gamma_ex], axis=-1)
+    else:
+        score = gamma
+    pi, mu = gmm_params(score, pts)
+    if feature is not None:
+        fea_mu = gmm_params(score, feature)[1]
+        return pi, mu, fea_mu
+    return pi, mu
+
+
+def wkeans(x: jnp.ndarray, num_clusters: int, dst: str = 'feats',
+           iters: int = 10) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sinkhorn k-means over features or coordinates.
+
+    Reference: lib/utils.py:201-219 (is_fast=True path: center-seeded FPS init).
+    Returns (gamma (B,N,J), pi (B,J), centroids (B,J,C)).
+    """
+    B, N, C = x.shape
+    ids = farthest_point_sample(x, num_clusters, is_center=True)
+    centroids = index_points(x, ids)
+
+    gamma0 = jnp.zeros((B, N, num_clusters), dtype=x.dtype)
+    pi0 = jnp.full((B, num_clusters), 1.0 / num_clusters, dtype=x.dtype)
+
+    def body(carry, _):
+        centroids, x_cur, _, _ = carry
+        if dst == 'eu':
+            cost = square_distance(x_cur, centroids)
+        else:
+            x_cur = l2_normalize(x_cur)
+            centroids = l2_normalize(centroids)
+            cost = 2.0 - 2.0 * jnp.einsum('bnd,bmd->bnm', x_cur, centroids)
+        gamma = N * sinkhorn(cost, max_iter=10)[0]
+        pi, centroids = gmm_params(gamma, x_cur)
+        return (centroids, x_cur, gamma, pi), None
+
+    (centroids, _, gamma, pi), _ = jax.lax.scan(
+        body, (centroids, x, gamma0, pi0), None, length=iters)
+    return gamma, pi, centroids
+
+
+def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
+                n_clusters: int, iters: int = 10, tau: float = 1.0):
+    """Overlap-weighted Sinkhorn-EM clustering (the OGMM core).
+
+    E-step: Sinkhorn on cdist(xyz, nodes)/tau with row marginal p = normalised
+    overlap scores; M-step: weighted means. All EM iterations run under
+    stop_gradient; gradients flow only through the final node_feats moments
+    (reference lib/utils.py:269-291: `with torch.no_grad()` + `.detach()`).
+
+    Returns (gamma (B,N,K), pi (B,K), node_xyz (B,K,3), node_feats (B,K,C)).
+    """
+    ids = farthest_point_sample(xyz, n_clusters, is_center=True)
+    node_xyz0 = index_points(xyz, ids)
+    o = jax.lax.stop_gradient(o_scores)
+    o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)
+
+    xyz_sg = jax.lax.stop_gradient(xyz)
+
+    def body(carry, _):
+        node_xyz, _, _ = carry
+        cost = jnp.maximum(cdist(xyz_sg, node_xyz), 0.0) / tau
+        gamma = sinkhorn(cost, p=o, q=None, max_iter=10)[0]
+        gamma = jnp.nan_to_num(gamma, nan=0.0)
+        gamma = gamma / jnp.maximum(gamma.sum(axis=-1, keepdims=True), 1e-3)
+        pi, node_xyz = gmm_params(gamma, xyz_sg)
+        return (node_xyz, gamma, pi), None
+
+    B, N, _ = xyz.shape
+    gamma0 = jnp.ones((B, N, n_clusters), dtype=xyz.dtype)
+    pi0 = jnp.full((B, n_clusters), 1.0 / n_clusters, dtype=xyz.dtype)
+    (node_xyz, gamma, pi), _ = jax.lax.scan(
+        body, (jax.lax.stop_gradient(node_xyz0), gamma0, pi0), None, length=iters)
+    gamma = jax.lax.stop_gradient(gamma)
+    pi = jax.lax.stop_gradient(pi)
+    node_xyz = jax.lax.stop_gradient(node_xyz)
+    node_feats = gmm_params(gamma, feats)[1]   # grads flow through feats only
+    return gamma, pi, node_xyz, node_feats
+
+
+def get_local_corrs(xyz: jnp.ndarray, xyz_mu: jnp.ndarray,
+                    feats: jnp.ndarray) -> jnp.ndarray:
+    """Features of the point nearest to each cluster mean.
+
+    xyz (B,N,3), xyz_mu (B,J,3), feats (B,N,C) -> (B,J,C).
+    Reference: lib/utils.py:244-254.
+    """
+    dis = square_distance(xyz_mu, xyz)           # (B, J, N); argmin == cdist argmin
+    idx = jnp.argmin(dis, axis=-1).astype(jnp.int32)  # (B, J)
+    return index_points(feats, idx)
+
+
+def get_anchor_corrs(xyz: jnp.ndarray, feats: jnp.ndarray, num_clusters: int,
+                     dst: str = 'eu', iters: int = 10, is_fast: bool = True,
+                     key: jax.Array | None = None,
+                     anchor_ids: jnp.ndarray | None = None):
+    """FPS anchor selection + anchor/nearest-point feature gather.
+
+    Returns (feats_anchor (B,J,C), feats_pos (B,J,C), xyz_mu (B,J,3),
+    anchor_ids (B,J)). The reference recomputes FPS with an unseeded random
+    start at every call site (lib/utils.py:257-266, used 6x per forward at
+    models/gmmreg.py:54-57,67-70,92-95); since anchors depend only on xyz,
+    callers here may pass `anchor_ids` to reuse one FPS pass — the default in
+    our model (documented divergence; config.recompute_anchors restores the
+    per-stage recompute).
+    """
+    if is_fast:
+        if anchor_ids is None:
+            anchor_ids = farthest_point_sample(xyz, num_clusters, is_center=False, key=key)
+        xyz_mu = index_points(xyz, anchor_ids)
+        feats_pos = index_points(feats, anchor_ids)
+    else:
+        gamma, pi, xyz_mu = wkeans(xyz, num_clusters, dst, iters)
+        feats_pos = gmm_params(gamma, feats)[1]
+        anchor_ids = jnp.argmin(square_distance(xyz_mu, xyz), axis=-1).astype(jnp.int32)
+    feats_anchor = get_local_corrs(xyz, xyz_mu, feats)
+    return feats_anchor, feats_pos, xyz_mu, anchor_ids

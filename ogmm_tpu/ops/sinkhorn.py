@@ -1,0 +1,75 @@
+"""Log-domain Sinkhorn optimal transport as a fixed-length lax.scan.
+
+The reference (lib/utils.py:69-108) runs a Python loop with a data-dependent
+early exit (mean |du|+|dv| < thresh, lib/utils.py:99-102). Under jit that
+control flow cannot exist; we run a *fixed* number of iterations instead.
+For the cost matrices this model produces (N,M <= 1024, epsilon 1e-2..1e-3)
+the fixed count matches the early-exited reference within fp32 tolerance —
+parity is argued numerically in tests/test_sinkhorn.py, not structurally.
+
+A fixed-trip scan also lets XLA fully fuse the logsumexp updates into two
+passes over the (B, N, M) cost block per iteration, which is the TPU-optimal
+schedule (HBM-bandwidth bound; no host sync for the stopping test).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def log_boltzmann_kernel(cost, u, v, epsilon):
+    """(-C + u 1^T + 1 v^T) / eps. Reference: lib/utils.py:69-71."""
+    return (-cost + u[..., :, None] + v[..., None, :]) / epsilon
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def sinkhorn(cost: jnp.ndarray,
+             p: jnp.ndarray | None = None,
+             q: jnp.ndarray | None = None,
+             epsilon: float = 1e-2,
+             max_iter: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Entropic OT transport plan between marginals p (B,N) and q (B,M).
+
+    Returns (gamma (B,N,M), mean OT loss scalar), matching the reference's
+    return contract (lib/utils.py:104-108). `thresh` early exit is replaced by
+    the fixed `max_iter` (see module docstring).
+    """
+    B, N, M = cost.shape
+    if p is None:
+        p = jnp.full((B, N), 1.0 / N, dtype=cost.dtype)
+    if q is None:
+        q = jnp.full((B, M), 1.0 / M, dtype=cost.dtype)
+    log_p = jnp.log(p + 1e-8)
+    log_q = jnp.log(q + 1e-8)
+
+    def body(carry, _):
+        u, v = carry
+        K = log_boltzmann_kernel(cost, u, v, epsilon)
+        u = epsilon * (log_p - jax.nn.logsumexp(K, axis=-1)) + u
+        Kt = log_boltzmann_kernel(cost, u, v, epsilon)
+        v = epsilon * (log_q - jax.nn.logsumexp(Kt, axis=-2)) + v
+        return (u, v), None
+
+    u0 = jnp.zeros_like(p)
+    v0 = jnp.zeros_like(q)
+    (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=max_iter)
+    gamma = jnp.exp(log_boltzmann_kernel(cost, u, v, epsilon))
+    loss = jnp.sum(gamma * cost, axis=(-2, -1)).mean()
+    return gamma, loss
+
+
+def contrastsk(x, y, p=None, epsilon=1e-3, max_iter=30, dst='eu'):
+    """Sinkhorn correspondence between two point/feature sets.
+
+    Reference: lib/utils.py:233-241.
+    """
+    from ogmm_tpu.ops.common import square_distance, l2_normalize
+    if dst == 'eu':
+        cost = square_distance(x, y)
+    else:
+        xn = l2_normalize(x)
+        yn = l2_normalize(y)
+        cost = 2.0 - 2.0 * jnp.einsum('bnd,bmd->bnm', xn, yn)
+    return sinkhorn(cost, p=p, q=None, epsilon=epsilon, max_iter=max_iter)
