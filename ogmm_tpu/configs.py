@@ -1,0 +1,109 @@
+"""Typed configuration system with the reference's two presets.
+
+Replaces the reference argparse presets (configs/cfgs.py:12-65 `mnet`,
+configs/cfgs.py:68-125 `indoor`) with frozen dataclasses: every field keeps
+the same name and default so configs translate 1:1, plus TPU-specific knobs
+(mesh shape, dtype policy) the reference has no analogue for.
+
+All fields that shape traced computations (n_points, emb_dims, n_clusters,
+km_clusters, gnn_k, num_heads, batch_size, sinkhorn/EM iteration counts) are
+static — changing them recompiles, matching XLA's fixed-shape model.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters (reference configs/cfgs.py:27-46)."""
+    emb_dims: int = 512
+    n_clusters: int = 128       # GMM components for the registration solve
+    km_clusters: int = 128      # FPS anchors conditioning attention
+    num_heads: int = 4
+    gnn_k: int = 20             # DGCNN edge-conv neighbourhood
+    pos_k: int = 5              # PositionEncoding neighbourhood (models/gmmreg.py:58-59)
+    em_iters: int = 10          # wkeans_plus EM trips (lib/utils.py:279)
+    sinkhorn_iters: int = 10    # inner Sinkhorn trips (lib/utils.py:281)
+    tau: float = 1.0            # clustering temperature (lib/utils.py:269)
+    softmax_temp: float = 0.05  # GMMSVD softmax temperature (models/dgcnn.py:108)
+    is_sk: bool = False         # GMMSVD Sinkhorn vs softmax matching (models/gmmreg.py:41)
+    overlap_radius: float = 0.035  # ICP voxel size at test time (configs/cfgs.py:24)
+    icp_iters: int = 30         # fixed-trip ICP refinement
+    # TPU-specific: recompute FPS anchors at each of the three attention
+    # stages (reference behaviour, lib/utils.py:257-266 called 6x/forward) or
+    # compute once and reuse (anchors depend only on xyz — faster, default).
+    recompute_anchors: bool = False
+    # compute dtype for the network body (geometry stays fp32)
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / augmentation knobs (reference configs/cfgs.py:14-24)."""
+    root: str = "/data"
+    dataset: str = "modelnet"   # modelnet|modelnetdv|modelnetcp|7scene|icl_nuim|synthetic
+    n_points: int = 717
+    trans_mag: float = 0.5
+    rot_mag: float = 45.0
+    unseen: bool = True
+    partial: Tuple[float, float] = (0.70, 0.70)
+    noise_type: str = "crop"    # clean | jitter | crop
+    overlap_radius: float = 0.035
+    num_workers: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / loop (reference configs/cfgs.py:48-58, train.py:200-202)."""
+    batch_size: int = 24
+    test_batch_size: int = 24
+    epochs: int = 450
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    lr_milestones: Tuple[int, ...] = (75, 150, 200)
+    lr_gamma: float = 0.1
+    seed: int = 1234            # actually honoured here (reference's is dead, cfgs.py:58)
+    # composite loss weights (train.py:69-71)
+    w_dcp: float = 10.0
+    w_clu: float = 1.0
+    w_overlap: float = 1.0
+    w_welsch: float = 0.01
+    mu: float = 10.0            # Welsch alpha (cfgs.py:41)
+    n_keypoints: int = 512      # Welsch top-k (cfgs.py:44)
+    save_every: int = 50        # periodic checkpoint (train.py:97-99)
+    model_path: str = "checkpoints"
+    # TPU execution
+    mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh; -1 = all devices
+    mesh_axes: Tuple[str, ...] = ("dp",)
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    model_name: str = "GMMReg"  # GMMReg | DeepGMR
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def mnet(**overrides) -> Config:
+    """ModelNet-family preset — reference configs/cfgs.py:12-65."""
+    cfg = Config()
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def indoor(**overrides) -> Config:
+    """7-Scenes / ICL-NUIM preset — reference configs/cfgs.py:68-125."""
+    cfg = Config(
+        model=ModelConfig(n_clusters=16, km_clusters=16, overlap_radius=0.0375),
+        data=DataConfig(dataset="7scene", n_points=50000, unseen=False,
+                        overlap_radius=0.0375),
+        train=TrainConfig(batch_size=8, test_batch_size=1, epochs=250, lr=1e-3,
+                          n_keypoints=256),
+    )
+    return cfg.replace(**overrides) if overrides else cfg

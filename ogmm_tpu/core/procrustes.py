@@ -126,3 +126,10 @@ def rigid_transform_3x4(src, src_corr, weight, method: str = "horn"):
     """As `rigid_transform` but returns a single (B, 3, 4) pose matrix."""
     rot, trans = rigid_transform(src, src_corr, weight, method)
     return jnp.concatenate([rot, trans], axis=-1)
+
+
+def horn_rotation(cov: jnp.ndarray) -> jnp.ndarray:
+    """Public alias: optimal R in SO(3) maximising tr(R cov^T) for a batched
+    (..., 3, 3) cross-covariance — Horn quaternion eigen-solve, always a
+    proper rotation."""
+    return _horn_quaternion(cov)

@@ -1,0 +1,275 @@
+"""Host-side numpy utilities for the data pipeline (no torch, no Open3D).
+
+Replaces reference datasets/datautils.py plus the Open3D label generation in
+lib/o3dutils.py:96-135, 217-226: the GT overlap labels come from a scipy
+cKDTree radius query — same radius-search semantics as Open3D's
+KDTreeFlann.search_radius_vector_3d, running in the input pipeline where a
+C++ KD-tree is the right tool (SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+# --------------------------------------------------------------------------
+# SE(3) numpy family (reference datasets/datautils.py:192-236, 425-460)
+# --------------------------------------------------------------------------
+
+def so3_transform(rot: np.ndarray, xyz: np.ndarray) -> np.ndarray:
+    return np.einsum('...ij,...bj->...bi', rot, xyz)
+
+
+def se3_transform(pose: np.ndarray, xyz: np.ndarray) -> np.ndarray:
+    rot, trans = pose[..., :3, :3], pose[..., :3, 3:4]
+    return np.einsum('...ij,...bj->...bi', rot, xyz) + np.swapaxes(trans, -1, -2)
+
+
+def se3_init(rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    return np.concatenate([rot, trans], axis=-1)
+
+
+def se3_inv(pose: np.ndarray) -> np.ndarray:
+    rot, trans = pose[..., :3, :3], pose[..., :3, 3:4]
+    irot = np.swapaxes(rot, -1, -2)
+    return se3_init(irot, -irot @ trans)
+
+
+def transform(g: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Apply ([B,] 3/4, 4) to ([B,] N, 3) — reference datautils.py:425-439."""
+    rot = g[..., :3, :3]
+    trans = g[..., :3, 3]
+    return pts[..., :3] @ np.swapaxes(rot, -1, -2) + trans[..., None, :]
+
+
+def to_tsfm(rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    tsfm = np.eye(4)
+    tsfm[:3, :3] = rot
+    tsfm[:3, 3] = trans.flatten()
+    return tsfm
+
+
+def np_mat2quat(pose: np.ndarray) -> np.ndarray:
+    """(3/4, 4) -> 7-vector [qw,qx,qy,qz,tx,ty,tz] (reference lib/se3.py:224-229)."""
+    from scipy.spatial.transform import Rotation
+    rot = pose[:3, :3]
+    q = Rotation.from_matrix(rot).as_quat()          # (x, y, z, w)
+    q = np.array([q[3], q[0], q[1], q[2]])           # -> (w, x, y, z)
+    if q[0] < 0:
+        q = -q
+    return np.concatenate([q, pose[:3, 3]], axis=0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Random pose sampling (reference datasets/transforms.py:240-274)
+# --------------------------------------------------------------------------
+
+def uniform2sphere(rng: np.random.RandomState | None = None):
+    """Uniform direction on S^2 (reference datautils.py:93-114)."""
+    r = rng if rng is not None else np.random
+    phi = r.uniform(0.0, 2 * np.pi)
+    cos_theta = r.uniform(-1.0, 1.0)
+    theta = np.arccos(cos_theta)
+    return np.stack([np.sin(theta) * np.cos(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(theta)], axis=-1)
+
+
+def random_rotation(max_angle: float, rng=None) -> np.ndarray:
+    r = rng if rng is not None else np.random
+    axis = r.randn(3) if rng is not None else np.random.randn(3)
+    axis /= np.linalg.norm(axis)
+    angle = r.rand() * max_angle
+    A = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * A + (1 - np.cos(angle)) * A @ A
+
+
+def random_translation(max_dist: float, rng=None) -> np.ndarray:
+    r = rng if rng is not None else np.random
+    t = r.randn(3)
+    t /= np.linalg.norm(t)
+    t *= r.rand() * max_dist
+    return t[:, None]
+
+
+def random_pose(max_angle: float, max_trans: float, rng=None) -> np.ndarray:
+    """(4, 4) random pose (reference transforms.py:240-243)."""
+    R = random_rotation(max_angle, rng)
+    t = random_translation(max_trans, rng)
+    return np.concatenate([np.concatenate([R, t], 1), [[0, 0, 0, 1]]], 0)
+
+
+def jitter_pcd(pcd: np.ndarray, sigma=0.01, clip=0.05, rng=None) -> np.ndarray:
+    r = rng if rng is not None else np.random
+    return pcd + np.clip(sigma * r.randn(*pcd.shape), -clip, clip)
+
+
+# --------------------------------------------------------------------------
+# Sampling / cropping (reference datautils.py:249-313)
+# --------------------------------------------------------------------------
+
+def farthest_point_sample(point: np.ndarray, npoint: int, is_idx=False,
+                          rng=None):
+    """Sequential FPS over one cloud, random start (reference datautils.py:249-272)."""
+    r = rng if rng is not None else np.random
+    N = point.shape[0]
+    xyz = point[:, :3]
+    centroids = np.zeros((npoint,), dtype=np.int64)
+    distance = np.full((N,), 1e10)
+    farthest = int(r.randint(0, N))
+    for i in range(npoint):
+        centroids[i] = farthest
+        dist = np.sum((xyz - xyz[farthest]) ** 2, -1)
+        np.minimum(distance, dist, out=distance)
+        farthest = int(np.argmax(distance))
+    sampled = point[centroids]
+    return (sampled, centroids.astype(np.int32)) if is_idx else sampled
+
+
+class RandomCropPair:
+    """Half-space crop of src/tgt clouds (reference datautils.py:275-313).
+
+    Unlike transforms.RandomCrop this variant keeps no correspondence
+    bookkeeping; used by ModelNetCP/DV/GMR and the real-data sets.
+    """
+
+    def __init__(self, p_keep: List[float] | None = None):
+        self.p_keep = np.array([0.7, 0.7] if p_keep is None else p_keep,
+                               dtype=np.float32)
+
+    @staticmethod
+    def crop(points: np.ndarray, p_keep: float, rng=None) -> np.ndarray:
+        rand_xyz = uniform2sphere(rng)
+        centered = points[:, :3] - points[:, :3].mean(axis=0)
+        dist = centered @ rand_xyz
+        if p_keep == 0.5:
+            mask = dist > 0
+        else:
+            mask = dist > np.percentile(dist, (1.0 - p_keep) * 100)
+        return points[mask]
+
+    def __call__(self, src, tgt, seed=None):
+        if np.all(self.p_keep == 1.0):
+            return src, tgt
+        if seed is not None:
+            np.random.seed(seed)
+        src = self.crop(src, float(self.p_keep[0]))
+        if len(self.p_keep) > 1:
+            tgt = self.crop(tgt, float(self.p_keep[1]))
+        return src, tgt
+
+
+# --------------------------------------------------------------------------
+# Overlap labels — scipy KD-tree replaces Open3D (lib/o3dutils.py:217-226)
+# --------------------------------------------------------------------------
+
+def overlap_labels(src: np.ndarray, tgt: np.ndarray, transf: np.ndarray,
+                   thresh: float = 0.05) -> Tuple[np.ndarray, np.ndarray]:
+    """GT overlap masks: a point overlaps if any point of the other (GT-
+    aligned) cloud lies within `thresh`. Matches the reference's KD-tree
+    radius search semantics (lib/o3dutils.py:123-135, 217-226)."""
+    src_t = transform(transf, src[:, :3])
+    tree = cKDTree(tgt[:, :3])
+    neigh = tree.query_ball_point(src_t, thresh)
+    src_label = np.array([len(n) > 0 for n in neigh], dtype=np.float64)
+    tgt_label = np.zeros(tgt.shape[0])
+    hit = sorted({j for n in neigh for j in n})
+    tgt_label[hit] = 1.0
+    return src_label, tgt_label
+
+
+def nearest_neighbor(src: np.ndarray, dst: np.ndarray):
+    """1-NN via cKDTree (reference datautils.py:23-39 uses sklearn)."""
+    tree = cKDTree(dst)
+    distances, indices = tree.query(src, k=1)
+    return distances.ravel(), indices.ravel()
+
+
+# --------------------------------------------------------------------------
+# RRI rotation-invariant features (reference datautils.py:162-189)
+# --------------------------------------------------------------------------
+
+def knn_idx(pts: np.ndarray, k: int) -> np.ndarray:
+    kdt = cKDTree(pts)
+    _, idx = kdt.query(pts, k=k + 1)
+    return idx[:, 1:]
+
+
+def get_rri(pts: np.ndarray, k: int) -> np.ndarray:
+    q = pts[knn_idx(pts, k)]
+    p = np.repeat(pts[:, None], k, axis=1)
+    rp = np.linalg.norm(p, axis=-1, keepdims=True)
+    rq = np.linalg.norm(q, axis=-1, keepdims=True)
+    pn = p / rp
+    qn = q / rq
+    dot = np.sum(pn * qn, -1, keepdims=True)
+    theta = np.arccos(np.clip(dot, -1, 1))
+    T_q = q - dot * p
+    sin_psi = np.sum(np.cross(T_q[:, None], T_q[:, :, None]) * pn[:, None], -1)
+    cos_psi = np.sum(T_q[:, None] * T_q[:, :, None], -1)
+    psi = np.arctan2(sin_psi, cos_psi) % (2 * np.pi)
+    idx = np.argpartition(psi, 1)[:, :, 1:2]
+    phi = np.take_along_axis(psi, idx, axis=-1)
+    feat = np.concatenate([rp, rq, theta, phi], axis=-1)
+    return feat.reshape(-1, k * 4)
+
+
+# --------------------------------------------------------------------------
+# ModelNet40 HDF5 loading (reference datautils.py:146-159)
+# --------------------------------------------------------------------------
+
+def load_modelnet_h5(partition: str, root: str):
+    """Load ply_data_{train,test}*.h5 -> (data (S, 2048, 6) xyz+normals, labels)."""
+    import h5py
+    all_data, all_label = [], []
+    pattern = os.path.join(root, 'modelnet40_ply_hdf5_2048',
+                           f'ply_data_{partition}*.h5')
+    for h5_name in sorted(glob.glob(pattern)):
+        with h5py.File(h5_name, 'r') as f:
+            data = np.concatenate([f['data'][:], f['normal'][:]],
+                                  axis=-1).astype('float32')
+            label = f['label'][:].astype('int64')
+        all_data.append(data)
+        all_label.append(label)
+    if not all_data:
+        raise FileNotFoundError(f"no ModelNet40 h5 files under {pattern}")
+    return np.concatenate(all_data, 0), np.concatenate(all_label, 0)
+
+
+def read_txt(path: str):
+    with open(path) as f:
+        return [x.strip() for x in f.readlines()]
+
+
+def read_trajectory(filename: str, dim: int = 4):
+    """3DMatch/Redwood trajectory reader (reference datautils.py:397-418)."""
+    traj = []
+    with open(filename, 'r') as f:
+        metastr = f.readline()
+        while metastr:
+            metadata = list(map(int, metastr.split()))
+            mat = np.zeros((dim, dim))
+            for i in range(dim):
+                mat[i, :] = np.fromstring(f.readline(), dtype=float, sep=' \t')
+            traj.append((metadata, mat))
+            metastr = f.readline()
+    return traj
+
+
+def write_trajectory(traj: np.ndarray, metadata: np.ndarray, filename: str,
+                     dim: int = 4):
+    """3DMatch/Redwood trajectory writer (reference datautils.py:124-143)."""
+    with open(filename, 'w') as f:
+        for idx in range(traj.shape[0]):
+            if metadata[idx][2]:
+                p = traj[idx].tolist()
+                f.write('\t'.join(map(str, metadata[idx])) + '\n')
+                f.write('\n'.join(
+                    '\t'.join(map('{0:.12f}'.format, p[i])) for i in range(dim)))
+                f.write('\n')

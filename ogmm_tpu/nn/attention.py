@@ -1,0 +1,106 @@
+"""Geometric position encoding + anchor-conditioned transformer blocks.
+
+Reference: models/attn.py. Channel-last throughout; every 1x1 conv is a Dense
+on the lane axis, attention score/apply einsums are MXU contractions over the
+(N x M<=1024) score block.
+
+Head layout note: torch's `view(B, d_head, H, N)` (models/attn.py:96) splits
+channels with head-strided interleaving; we use the standard contiguous
+(B, N, H, d_head) split. For freshly-initialised weights these differ only by
+a fixed channel permutation absorbed into the learned projections — documented
+divergence (we never load torch checkpoints).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ogmm_tpu.nn.layers import BN, PointMLP
+from ogmm_tpu.ops.common import knn, gather_neighbors, l2_normalize
+
+
+class PositionEncoding(nn.Module):
+    """Distance-to-centroid + neighbour-angle geometric embedding.
+
+    Reference: models/attn.py:30-75. Two branches over (B, N, 3) points:
+      dist:  |p - centroid|^2 -> Dense(64) -> Dense(dim/2)
+      angle: cos(angle(p->neighbour_j, p->centroid)) over k neighbours
+             -> Dense(64) -> max over k -> Dense(dim/2)
+    concatenated to (B, N, dim). (The reference defines a final fuse conv but
+    never applies it, models/attn.py:53-57 vs 74-75 — we match the applied
+    graph.) All convs bias-free + BN + LeakyReLU(0.2).
+    """
+    dim: int
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True):
+        B, N, _ = points.shape
+        centroid = points.mean(axis=1, keepdims=True)        # (B, 1, 3)
+        p2gc = points - centroid                             # (B, N, 3)
+        g_dis = (p2gc ** 2).sum(axis=-1, keepdims=True)      # (B, N, 1)
+
+        h = nn.Dense(64, use_bias=False)(g_dis)
+        h = nn.leaky_relu(BN(self.bn_axis_name)(h, train), 0.2)
+        h = nn.Dense(self.dim // 2, use_bias=False)(h)
+        dis_feature = nn.leaky_relu(BN(self.bn_axis_name)(h, train), 0.2)
+
+        idx = knn(points, points, k)
+        p2lc = gather_neighbors(points, idx) - points[:, :, None, :]  # (B,N,k,3)
+        alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
+                           l2_normalize(p2gc))[..., None]    # (B, N, k, 1)
+        a = nn.Dense(64, use_bias=False)(alpha)
+        a = nn.leaky_relu(BN(self.bn_axis_name)(a, train), 0.2)
+        a = a.max(axis=2)                                    # (B, N, 64)
+        a = nn.Dense(self.dim // 2, use_bias=False)(a)
+        ang_feature = nn.leaky_relu(BN(self.bn_axis_name)(a, train), 0.2)
+
+        return jnp.concatenate([dis_feature, ang_feature], axis=-1)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Scaled dot-product attention, (B, N, H, Dh) x (B, M, H, Dh).
+
+    Reference: models/attn.py:78-82 (scale = sqrt(d_head)).
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                        preferred_element_type=jnp.float32) / (dh ** 0.5)
+    prob = nn.softmax(scores, axis=-1)
+    return jnp.einsum('bhnm,bmhd->bnhd', prob, v,
+                      preferred_element_type=jnp.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Reference: models/attn.py:85-99 (Conv1d projections -> Dense here)."""
+    num_heads: int
+    d_model: int
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        assert self.d_model % self.num_heads == 0
+        dh = self.d_model // self.num_heads
+        B, N, _ = query.shape
+        M = key.shape[1]
+        q = nn.Dense(self.d_model)(query).reshape(B, N, self.num_heads, dh)
+        k = nn.Dense(self.d_model)(key).reshape(B, M, self.num_heads, dh)
+        v = nn.Dense(self.d_model)(value).reshape(B, M, self.num_heads, dh)
+        x = attention(q, k, v).reshape(B, N, self.d_model)
+        return nn.Dense(self.d_model)(x)                     # merge
+
+
+class TransformerBlock(nn.Module):
+    """Cross-attention + MLP-on-concat message passing.
+
+    Reference: models/attn.py:102-111 — message = MHA(src, tgt, tgt);
+    out = MLP([2d -> 2d -> d])(concat[src, message]). Residuals are added by
+    the caller (models/gmmreg.py:62-63, 71-72, 96-97).
+    """
+    feature_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, src, tgt):
+        message = MultiHeadAttention(self.num_heads, self.feature_dim)(src, tgt, tgt)
+        return PointMLP((self.feature_dim * 2, self.feature_dim))(
+            jnp.concatenate([src, message], axis=-1))

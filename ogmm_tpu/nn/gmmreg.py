@@ -1,0 +1,176 @@
+"""GMMReg — the OGMM overlap-guided registration network, TPU-native.
+
+Reference: models/gmmreg.py:32-119. One fixed-shape forward:
+DGCNN features -> geometric position encoding -> anchor-conditioned
+self-attention -> cross-attention -> overlap head -> second self-attention ->
+overlap-weighted Sinkhorn-EM clustering -> soft GMM matching -> weighted
+Procrustes (on-device Horn solve) [-> batched ICP at test time].
+
+Everything is channel-last (B, N, C) and jit-clean: the reference's CPU SVD
+hop (lib/se3.py:276) and per-item Open3D ICP loop (lib/o3dutils.py:192-214)
+are replaced by on-device batched equivalents.
+
+Anchor note: only the `feats_pos` output of the reference's
+`get_anchor_corrs` (features gathered at FPS anchor indices,
+lib/utils.py:261) is ever consumed by the model (models/gmmreg.py:54-97);
+anchors depend only on xyz, so by default we run FPS once per cloud and
+re-gather per stage — identical features when the FPS start matches
+(config.recompute_anchors restores per-stage recompute with fresh random
+starts, the reference's unseeded-randint behaviour, lib/utils.py:190).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ogmm_tpu.configs import ModelConfig
+from ogmm_tpu.core.procrustes import rigid_transform
+from ogmm_tpu.losses import clu_loss
+from ogmm_tpu.nn.attention import PositionEncoding, TransformerBlock
+from ogmm_tpu.nn.dgcnn import DGCNN
+from ogmm_tpu.nn.layers import ConvHead
+from ogmm_tpu.ops.common import cos_similarity, index_points, l2_normalize
+from ogmm_tpu.ops.fps import farthest_point_sample
+from ogmm_tpu.ops.gmm import wkeans_plus
+from ogmm_tpu.ops.icp import icp_point_to_point
+from ogmm_tpu.ops.sinkhorn import sinkhorn
+
+
+def gmm_svd(src_nodes, tgt_nodes, src_desc, tgt_desc, src_pi, tgt_pi,
+            is_sk: bool = False, softmax_temp: float = 0.05):
+    """Match two GMMs by feature similarity and solve the rigid transform.
+
+    Reference: models/dgcnn.py:90-115 (`GMMSVD`). GMMReg instantiates the
+    softmax path (is_sk=False, models/gmmreg.py:41); the Sinkhorn-OT path is
+    kept behind the same flag.
+
+    Returns (rot (B,3,3), trans (B,3), src_corr (B,K,3), tgt_nodes).
+    """
+    similarity = cos_similarity(src_desc, tgt_desc)           # (B, K, K)
+    if is_sk:
+        cost = 2.0 * (1.0 - similarity)
+        scores = sinkhorn(cost, p=src_pi, q=tgt_pi, epsilon=1e-2, max_iter=30)[0]
+        scores = jnp.nan_to_num(scores, nan=1e-4)
+        scores = scores / jnp.maximum(scores.sum(axis=-1, keepdims=True), 1e-4)
+    else:
+        scores = jax.nn.softmax(similarity / softmax_temp, axis=2)
+    src_corr = jnp.einsum('bnm,bmd->bnd', scores, tgt_nodes,
+                          preferred_element_type=jnp.float32)  # Eq. (4)
+    weight = scores.sum(axis=-1)                               # (B, K)
+    rot, trans = rigid_transform(src_nodes, src_corr, weight)
+    return rot, trans[..., 0], src_corr, tgt_nodes
+
+
+class GMMReg(nn.Module):
+    """The OGMM network. Call: (src, tgt) -> (rot, trans, src_o, tgt_o, clu).
+
+    src/tgt: (B, N, 3) channel-last point clouds (the reference takes
+    (B, 3, N), train.py:50-51 — our data pipeline stays channel-last
+    throughout). `is_test=True` appends on-device batched ICP refinement
+    (reference models/gmmreg.py:115-117).
+    """
+    cfg: ModelConfig = ModelConfig()
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray, tgt: jnp.ndarray,
+                 train: bool = True, is_test: bool = False):
+        cfg = self.cfg
+        D = cfg.emb_dims
+        km = cfg.km_clusters
+        B, N, _ = src.shape
+        M = tgt.shape[1]
+        assert N == M, (
+            "the reference overlap head mixes src/tgt point axes and requires "
+            "equal point counts (models/gmmreg.py:79-80)")
+
+        dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name)
+        pos_enc = PositionEncoding(D, self.bn_axis_name)
+        sattn1 = TransformerBlock(D, cfg.num_heads)
+        cattn = TransformerBlock(D, cfg.num_heads)
+        sattn2 = TransformerBlock(D, cfg.num_heads)
+        conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name)
+        conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name)
+        proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name)
+        overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name)
+
+        # --- FPS anchors (reference get_anchor_corrs, random-start FPS) ----
+        if self.has_rng('anchors'):
+            kroot = self.make_rng('anchors')
+            ks = list(jax.random.split(kroot, 6))
+        else:
+            ks = [None] * 6
+        n_stages = 3 if cfg.recompute_anchors else 1
+        src_ids = [farthest_point_sample(src, km, is_center=False, key=ks[i])
+                   for i in range(n_stages)]
+        tgt_ids = [farthest_point_sample(tgt, km, is_center=False, key=ks[3 + i])
+                   for i in range(n_stages)]
+        if not cfg.recompute_anchors:
+            src_ids = src_ids * 3
+            tgt_ids = tgt_ids * 3
+
+        # --- stage 0: features + position encoding ------------------------
+        src_feats = dgcnn(src, train)                          # (B, N, D)
+        tgt_feats = dgcnn(tgt, train)
+        src_anchor0 = index_points(src_feats, src_ids[0])      # (B, km, D)
+        tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
+        src_t = src_feats + pos_enc(src, cfg.pos_k, train)
+        tgt_t = tgt_feats + pos_enc(tgt, cfg.pos_k, train)
+
+        # --- stage 1: anchor-conditioned self-attention --------------------
+        src_t = conv1(sattn1(src_t, src_anchor0) + src_t, train)
+        tgt_t = conv1(sattn1(tgt_t, tgt_anchor0) + tgt_t, train)
+
+        # --- stage 2: cross-attention via anchors --------------------------
+        src_anchor1 = index_points(src_t, src_ids[1])
+        tgt_anchor1 = index_points(tgt_t, tgt_ids[1])
+        src_f = cattn(src_t, tgt_anchor1) + src_t
+        tgt_f = cattn(tgt_t, src_anchor1) + tgt_t
+
+        # --- overlap head ---------------------------------------------------
+        # (reference models/gmmreg.py:74-89; note the reference weights the
+        # *source* scores by src_o gathered along the target axis — a quirk
+        # that requires N == M and is preserved bit-for-bit here)
+        sim = jnp.einsum('bnd,bmd->bnm', l2_normalize(src_f),
+                         l2_normalize(tgt_f),
+                         preferred_element_type=jnp.float32)   # (B, N, M)
+        src_o = proj(src_f, train)                             # (B, N, 1)
+        tgt_o = proj(tgt_f, train)
+        src_wo = jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(sim, axis=-1), src_o)
+        tgt_wo = jnp.einsum('bnm,bnd->bmd', jax.nn.softmax(sim, axis=1), tgt_o)
+        src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1), train)
+        tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1), train)
+        src_o = nn.sigmoid(overlap(src_fo, train)).reshape(B, N)
+        tgt_o = nn.sigmoid(overlap(tgt_fo, train)).reshape(B, M)
+
+        # --- stage 3: second self-attention --------------------------------
+        src_anchor2 = index_points(src_f, src_ids[2])
+        tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
+        src_f = sattn2(src_f, src_anchor2) + src_f
+        tgt_f = sattn2(tgt_f, tgt_anchor2) + tgt_f
+
+        # --- overlap-guided clustering (models/gmmreg.py:100-101) ----------
+        s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(
+            src, src_f, src_o, cfg.n_clusters, iters=cfg.em_iters, tau=cfg.tau)
+        t_gamma, t_pi, t_nodes, t_nfeats = wkeans_plus(
+            tgt, tgt_f, tgt_o, cfg.n_clusters, iters=cfg.em_iters, tau=cfg.tau)
+
+        # --- soft GMM matching + Procrustes --------------------------------
+        rot, trans, _, _ = gmm_svd(s_nodes, t_nodes, s_nfeats, t_nfeats,
+                                   s_pi, t_pi, is_sk=cfg.is_sk,
+                                   softmax_temp=cfg.softmax_temp)
+
+        # --- clustering contrastive loss (models/gmmreg.py:106-110) --------
+        clu = 0.5 * (clu_loss(src, s_nodes, src_f, s_gamma, tau=0.1)
+                     + clu_loss(tgt, t_nodes, tgt_f, t_gamma, tau=0.1))
+
+        if is_test:
+            init = jnp.concatenate([rot, trans[..., None]], axis=-1)
+            rot, trans = icp_point_to_point(
+                src, tgt, init, threshold=2.0 * cfg.overlap_radius,
+                max_iter=cfg.icp_iters)
+
+        return rot, trans, src_o, tgt_o, clu

@@ -1,0 +1,87 @@
+"""Shared point-wise layers (channel-last, TPU lane-friendly).
+
+The reference builds everything from 1x1 Conv1d/Conv2d + BatchNorm + ReLU
+(models/dgcnn.py:16-38 `CONV`, models/attn.py:17-27 `MLP`). A 1x1 conv over a
+channel-first (B, C, N) tensor is exactly a Dense layer over a channel-last
+(B, N, C) tensor — which is the layout the MXU wants (features on the
+128-lane axis). So here every "conv" is flax `nn.Dense` and the batch/point
+axes are whatever leading shape the input carries.
+
+BatchNorm: torch semantics (eps=1e-5, momentum 0.1 => flax momentum 0.9),
+normalising over all axes but the feature axis — identical statistics to the
+reference's BN1d/BN2d in these layouts. An optional `bn_axis_name` turns on
+cross-replica sync-BN under shard_map (the reference's DataParallel uses
+per-replica stats; None reproduces that).
+
+InstanceNorm1d (torch affine=False default, models/attn.py:24): per-sample
+per-channel normalisation over the point axis — implemented inline, no state.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BN(nn.Module):
+    """torch-semantics BatchNorm over the trailing feature axis."""
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9, epsilon=1e-5,
+            axis_name=self.axis_name,
+        )(x)
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch InstanceNorm1d (affine=False) for (B, N, C): normalise over N."""
+    mean = x.mean(axis=-2, keepdims=True)
+    var = x.var(axis=-2, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class ConvHead(nn.Module):
+    """Projection / overlap / fusion head — reference `CONV` (models/dgcnn.py:16-38).
+
+    used='proj': Dense(h)+BN+ReLU -> Dense(h)+BN+ReLU -> Dense(out)
+    else:        Dense(h)+BN+ReLU -> Dense(out)
+    """
+    out_size: int
+    hidden_size: int
+    deep: bool = True           # reference `used == 'proj'`
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.hidden_size)(x)
+        x = BN(self.bn_axis_name)(x, train)
+        x = nn.relu(x)
+        if self.deep:
+            x = nn.Dense(self.hidden_size)(x)
+            x = BN(self.bn_axis_name)(x, train)
+            x = nn.relu(x)
+        return nn.Dense(self.out_size)(x)
+
+
+class PointMLP(nn.Module):
+    """Dense + InstanceNorm + ReLU stack — reference `MLP` (models/attn.py:17-27).
+
+    InstanceNorm+ReLU on every layer but the last; final bias initialised to 0
+    (reference models/attn.py:107).
+    """
+    channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            x = nn.Dense(ch)(x)
+            if i < n - 1:
+                x = instance_norm(x)
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,147 @@
+"""Data pipeline: transform-chain semantics, determinism, loader shapes."""
+import numpy as np
+import pytest
+
+from ogmm_tpu.configs import mnet
+from ogmm_tpu.data import (ModelNetHdf, PrefetchLoader, SyntheticPointClouds,
+                           data_loader, get_transforms)
+from ogmm_tpu.data import transforms as T
+from ogmm_tpu.data.datautils import (overlap_labels, random_pose,
+                                     se3_transform, transform)
+
+
+def _sample(n=256, seed=0):
+    rng = np.random.RandomState(seed)
+    return {'points': rng.randn(n, 6).astype(np.float32),
+            'idx': np.array(5, dtype=np.int32)}
+
+
+def test_split_source_ref():
+    s = T.SplitSourceRef()(_sample())
+    assert s['points_src'].shape == s['points_ref'].shape
+    assert s['correspondences'].shape == (2, 256)
+    np.testing.assert_array_equal(s['correspondences'][0],
+                                  s['correspondences'][1])
+
+
+def test_random_se3_euler_gt_maps_src_to_ref():
+    s = T.SplitSourceRef()(_sample())
+    s = T.RandomTransformSE3_euler(rot_mag=45, trans_mag=0.5)(s)
+    # transform_gt applied to points_src recovers points_ref (xyz part)
+    recovered = se3_transform(s['transform_gt'], s['points_src'][:, :3])
+    np.testing.assert_allclose(recovered, s['points_ref'][:, :3], atol=1e-4)
+
+
+def test_crop_chain_shapes_and_overlap():
+    np.random.seed(0)
+    s = _sample(1024)
+    train_tf, _ = get_transforms('crop', 45.0, 0.5, 717, [0.7, 0.7])
+    out = train_tf(s)
+    # Predator 717 hard-code (reference transforms.py:344)
+    assert out['points_src'].shape[0] == 717
+    assert out['points_ref'].shape[0] == 717
+    assert out['src_overlap'].shape == (717,)
+    assert set(np.unique(out['src_overlap'])) <= {0.0, 1.0}
+    # correspondences index valid overlapping points
+    c = out['correspondences']
+    assert c.min() >= 0 and c[0].max() < 717 and c[1].max() < 717
+    # corresponding points map onto each other under gt
+    src_c = out['points_src'][c[0], :3]
+    ref_c = out['points_ref'][c[1], :3]
+    mapped = se3_transform(out['transform_gt'], src_c)
+    # jitter sigma=0.01 on both clouds -> tolerance ~6 sigma
+    assert np.linalg.norm(mapped - ref_c, axis=1).max() < 0.2
+
+
+def test_deterministic_eval_reproducible():
+    _, test_tf = get_transforms('crop', 45.0, 0.5, 717, [0.7, 0.7])
+    a = test_tf(_sample(1024, seed=3))
+    b = test_tf(_sample(1024, seed=3))
+    np.testing.assert_array_equal(a['points_src'], b['points_src'])
+    np.testing.assert_array_equal(a['transform_gt'], b['transform_gt'])
+
+
+def test_overlap_labels_kdtree():
+    rng = np.random.RandomState(0)
+    src = rng.randn(100, 3)
+    pose = random_pose(0.5, 0.3, rng)
+    # target = transformed src -> all points overlap at thresh
+    tgt = transform(pose, src)
+    s_lab, t_lab = overlap_labels(src, tgt, pose, thresh=0.05)
+    assert s_lab.mean() == 1.0 and t_lab.mean() == 1.0
+    # far-away target -> no overlap
+    s_lab, t_lab = overlap_labels(src, tgt + 100.0, pose, thresh=0.05)
+    assert s_lab.mean() == 0.0 and t_lab.mean() == 0.0
+
+
+def test_modelnet_hdf_synthetic_end_to_end():
+    train_tf, _ = get_transforms('crop', 45.0, 0.5, 717, [0.7, 0.7])
+    ds = ModelNetHdf("synthetic", unseen=True, transform=train_tf,
+                     partition='train')
+    item = ds[0]
+    assert item['src_xyz'].shape == (717, 3)
+    assert item['tgt_xyz'].shape == (717, 3)
+    assert item['transform_gt'].shape == (3, 4)
+    assert item['pose_gt'].shape == (7,)
+    assert item['src_overlap'].shape == (717,)
+
+
+def test_prefetch_loader_batches():
+    train_tf, _ = get_transforms('clean', 45.0, 0.5, 128, None)
+    ds = ModelNetHdf("synthetic", transform=train_tf, partition='train')
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                            num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b['src_xyz'].shape == (4, 128, 3)
+    assert b['transform_gt'].shape == (4, 3, 4)
+
+
+def test_data_loader_factory_synthetic():
+    cfg = mnet()
+    cfg = cfg.replace(data=cfg.data.__class__(dataset="synthetic", n_points=128),
+                      train=cfg.train.__class__(batch_size=4, test_batch_size=4))
+    train_loader, test_loader = data_loader(cfg)
+    tb = next(iter(train_loader))
+    assert tb['src_xyz'].shape[0] == 4
+    eb1 = next(iter(test_loader))
+    eb2 = next(iter(test_loader))
+    # eval protocol: the pose is per-index seeded (deterministic), while the
+    # initial 2048->1024 permutation is unseeded — exactly the reference
+    # semantics (modelnet.py:324 draws before the chain seeds at
+    # transforms.py:138-139), so only transform_gt is reproducible.
+    np.testing.assert_array_equal(eb1['transform_gt'], eb2['transform_gt'])
+    np.testing.assert_array_equal(eb1['pose_gt'], eb2['pose_gt'])
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    from ogmm_tpu.data.mesh import plyread
+    verts = np.random.RandomState(0).randn(50, 3).astype(np.float32)
+    # write a binary_little_endian ply
+    p = tmp_path / "cloud.ply"
+    header = (b"ply\nformat binary_little_endian 1.0\n"
+              b"element vertex 50\n"
+              b"property float x\nproperty float y\nproperty float z\n"
+              b"end_header\n")
+    p.write_bytes(header + verts.astype('<f4').tobytes())
+    mesh = plyread(str(p))
+    np.testing.assert_allclose(mesh.vertex_array, verts, rtol=1e-6)
+    # ascii variant
+    p2 = tmp_path / "cloud_ascii.ply"
+    lines = [b"ply", b"format ascii 1.0", b"element vertex 3",
+             b"property float x", b"property float y", b"property float z",
+             b"end_header", b"0 1 2", b"3 4 5", b"6 7 8"]
+    p2.write_bytes(b"\n".join(lines) + b"\n")
+    mesh2 = plyread(str(p2))
+    np.testing.assert_allclose(mesh2.vertex_array,
+                               [[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+
+
+def test_mesh_off_broken_header(tmp_path):
+    from ogmm_tpu.data.mesh import offread
+    p = tmp_path / "broken.off"
+    p.write_text("OFF3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    mesh = offread(str(p))
+    assert mesh.vertex_array.shape == (3, 3)
+    assert mesh.faces == [[0, 1, 2]]

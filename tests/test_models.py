@@ -1,0 +1,147 @@
+"""Model layer: shape/finiteness smoke + gradient flow + registration sanity.
+
+Tiny dims throughout (CPU-host compile budget); real-size runs happen in
+bench.py on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogmm_tpu.configs import ModelConfig
+from ogmm_tpu.nn import DGCNN, DeepGMR, GMMReg, gmm_register, gmm_svd
+from ogmm_tpu.nn.attention import PositionEncoding, TransformerBlock
+
+TINY = ModelConfig(emb_dims=32, n_clusters=8, km_clusters=8, num_heads=2,
+                   gnn_k=8, pos_k=4, em_iters=3, sinkhorn_iters=5, icp_iters=3)
+
+
+def _pair(rng, B=2, N=48):
+    src = rng.randn(B, N, 3).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler('zyx', rng.uniform(-30, 30, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.2 * rng.randn(B, 3).astype(np.float32)
+    tgt = np.einsum('bij,bnj->bni', R, src) + t[:, None]
+    return jnp.asarray(src), jnp.asarray(tgt), R, t
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _pair(np.random.RandomState(1))
+
+
+def test_dgcnn_shapes(pair):
+    src, _, _, _ = pair
+    model = DGCNN(emb_dims=32, k=8)
+    vars_ = model.init(jax.random.PRNGKey(0), src, train=False)
+    out = model.apply(vars_, src, train=False)
+    assert out.shape == (src.shape[0], src.shape[1], 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert 'batch_stats' in vars_
+
+
+def test_position_encoding_shape(pair):
+    src, _, _, _ = pair
+    model = PositionEncoding(dim=32)
+    vars_ = model.init(jax.random.PRNGKey(0), src, 4, train=False)
+    out = model.apply(vars_, src, 4, train=False)
+    assert out.shape == (src.shape[0], src.shape[1], 32)
+
+
+def test_transformer_block_cross_shapes(pair):
+    src, _, _, _ = pair
+    feats = jnp.asarray(np.random.RandomState(2).randn(2, 48, 32), jnp.float32)
+    anchors = feats[:, :8]
+    model = TransformerBlock(32, 2)
+    vars_ = model.init(jax.random.PRNGKey(0), feats, anchors)
+    out = model.apply(vars_, feats, anchors)
+    assert out.shape == feats.shape
+
+
+def test_gmm_svd_recovers_transform(rng):
+    # perfectly matched node sets with distinctive features -> exact recovery
+    B, K = 2, 8
+    nodes = rng.randn(B, K, 3).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler('zyx', rng.uniform(-30, 30, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.3 * rng.randn(B, 3).astype(np.float32)
+    tgt_nodes = np.einsum('bij,bkj->bki', R, nodes) + t[:, None]
+    feats = np.eye(K, dtype=np.float32)[None].repeat(B, 0) * 10.0  # orthogonal
+    pi = np.full((B, K), 1.0 / K, dtype=np.float32)
+    rot, trans, _, _ = gmm_svd(jnp.asarray(nodes), jnp.asarray(tgt_nodes),
+                               jnp.asarray(feats), jnp.asarray(feats),
+                               jnp.asarray(pi), jnp.asarray(pi))
+    np.testing.assert_allclose(np.asarray(rot), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(trans), t, atol=1e-3)
+
+
+def test_gmmreg_forward_shapes_and_grad(pair):
+    src, tgt, _, _ = pair
+    model = GMMReg(cfg=TINY)
+    vars_ = model.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+
+    rot, trans, src_o, tgt_o, clu = model.apply(vars_, src, tgt, train=False)
+    B, N = src.shape[0], src.shape[1]
+    assert rot.shape == (B, 3, 3)
+    assert trans.shape == (B, 3)
+    assert src_o.shape == (B, N) and tgt_o.shape == (B, N)
+    assert np.all(np.isfinite(np.asarray(rot)))
+    # proper rotation
+    dets = np.linalg.det(np.asarray(rot))
+    np.testing.assert_allclose(dets, 1.0, atol=1e-3)
+    assert np.all((np.asarray(src_o) >= 0) & (np.asarray(src_o) <= 1))
+
+    # gradient flows into DGCNN params through the full pipeline
+    def loss_fn(params):
+        out = model.apply(
+            {'params': params, 'batch_stats': vars_['batch_stats']},
+            src, tgt, train=True, mutable=['batch_stats'])
+        (rot, trans, so, to, clu) = out[0]
+        return jnp.sum(rot ** 2) + jnp.sum(trans ** 2) + clu + jnp.sum(so)
+
+    g = jax.grad(loss_fn)(vars_['params'])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert total > 0.0
+
+
+def test_gmmreg_test_mode_icp(pair):
+    src, tgt, R, t = pair
+    model = GMMReg(cfg=TINY)
+    vars_ = model.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    rot, trans, _, _, _ = model.apply(vars_, src, tgt, train=False, is_test=True)
+    assert rot.shape == (2, 3, 3) and trans.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(rot)))
+
+
+def test_deepgmr_forward_and_quirk(pair):
+    src, tgt, _, _ = pair
+    model = DeepGMR(cfg=TINY)
+    vars_ = model.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    rot, trans = model.apply(vars_, src, tgt, train=False)
+    assert rot.shape == (2, 3, 3)
+    # reference quirk: translation is the (zero) bottom row (baseline/deepgmr.py:79)
+    np.testing.assert_allclose(np.asarray(trans), 0.0, atol=1e-7)
+    fixed = DeepGMR(cfg=TINY, quirk_translation_row=False)
+    vars2 = fixed.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    _, trans2 = fixed.apply(vars2, src, tgt, train=False)
+    assert float(jnp.abs(trans2).sum()) > 0.0
+
+
+def test_gmm_register_exact_recovery(rng):
+    B, K = 2, 8
+    mu_s = rng.randn(B, K, 3).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler('zyx', rng.uniform(-30, 30, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.3 * rng.randn(B, 3).astype(np.float32)
+    mu_t = np.einsum('bij,bkj->bki', R, mu_s) + t[:, None]
+    pi = np.full((B, K), 1.0 / K, dtype=np.float32)
+    sigma = np.broadcast_to(0.1 * np.eye(3, dtype=np.float32), (B, K, 3, 3)).copy()
+    T = gmm_register(jnp.asarray(pi), jnp.asarray(mu_s), jnp.asarray(mu_t),
+                     jnp.asarray(sigma))
+    np.testing.assert_allclose(np.asarray(T[:, :3, :3]), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(T[:, :3, 3]), t, atol=1e-3)
