@@ -113,6 +113,7 @@ def welsch_loss(src, tgt, tsfm, src_o=None, tgt_o=None,
     tsfm (B,3/4,4) applied to src.
     """
     src = se3.transform(tsfm, src)
+    top_k = min(top_k, src.shape[1], tgt.shape[1])   # static-shape cap
     if src_o is not None and tgt_o is not None:
         src_ids = jax.lax.top_k(src_o, top_k)[1]
         src_corr = jnp.take_along_axis(src, src_ids[..., None], axis=1)

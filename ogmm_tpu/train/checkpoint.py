@@ -1,0 +1,49 @@
+"""Orbax checkpointing of the FULL train state.
+
+Policies mirror the reference (train.py:97-99, 230-236): a periodic save
+every `save_every` epochs plus a best-by-`pcab_dist` save — but unlike the
+reference (which persists model weights only and silently drops optimizer/
+scheduler/epoch, train.py:220-225), the whole TrainState round-trips:
+params, batch_stats, Adam moments, step counter, and PRNG key.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ogmm_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, root: str, model_name: str = "GMMReg"):
+        self.dir = os.path.abspath(
+            os.path.join(root, "checkpoints", model_name, "models"))
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _save(self, path: str, state: TrainState):
+        path = os.path.join(self.dir, path)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_best(self, state: TrainState, epoch: int):
+        self._save("optim_model", state)
+
+    def save_periodic(self, state: TrainState, epoch: int):
+        self._save(f"model_{epoch + 1:04d}", state)
+
+    def restore(self, state_template: TrainState,
+                name: str = "optim_model") -> Optional[TrainState]:
+        path = os.path.join(self.dir, name)
+        if not os.path.exists(path):
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          jax.device_get(state_template))
+        return self._ckptr.restore(path, abstract)
+
+    def has_best(self) -> bool:
+        return os.path.exists(os.path.join(self.dir, "optim_model"))

@@ -55,7 +55,9 @@ def test_identity_prediction_fails_recall(rng):
 def test_rotation_translation_error_defs(rng):
     R, t = _random_rt(rng, 6)
     r_err = np.asarray(rotation_error(jnp.asarray(R), jnp.asarray(R)))
-    np.testing.assert_allclose(r_err, 0.0, atol=1e-2)
+    # arccos near 1 amplifies fp32 eps to ~0.03 deg — same floor as the
+    # reference's identical formula in fp32 (lib/metric.py:85-88)
+    np.testing.assert_allclose(r_err, 0.0, atol=0.05)
     t_err = np.asarray(translation_error(jnp.asarray(t), jnp.asarray(t + 1.0)))
     np.testing.assert_allclose(t_err, np.sqrt(3.0), rtol=1e-5)
 

@@ -1,0 +1,133 @@
+"""Training layer: sharded train step on the 8-device CPU mesh, optimizer
+schedule semantics, checkpoint round-trip, loss descent on one batch."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ogmm_tpu.configs import mnet
+from ogmm_tpu.train import (CheckpointManager, create_train_state,
+                            make_optimizer, make_train_step)
+from ogmm_tpu.train.trainer import BATCH_KEYS, make_eval_step, make_mesh
+
+TINY_MODEL = dict(emb_dims=32, n_clusters=8, km_clusters=8, num_heads=2,
+                  gnn_k=8, pos_k=4, em_iters=2, sinkhorn_iters=3, icp_iters=2)
+
+
+def tiny_cfg(batch_size=8):
+    cfg = mnet()
+    return cfg.replace(
+        model=dataclasses.replace(cfg.model, **TINY_MODEL),
+        train=dataclasses.replace(cfg.train, batch_size=batch_size,
+                                  n_keypoints=16))
+
+
+def make_batch(B=8, N=48, seed=0):
+    rs = np.random.RandomState(seed)
+    from scipy.spatial.transform import Rotation
+    src = rs.randn(B, N, 3).astype(np.float32) * 0.3
+    R = Rotation.from_euler('zyx', rs.uniform(-30, 30, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.2 * rs.randn(B, 3).astype(np.float32)
+    tgt = np.einsum('bij,bnj->bni', R, src) + t[:, None]
+    gt = np.concatenate([R, t[:, :, None]], axis=-1).astype(np.float32)
+    return {
+        'src_xyz': src, 'tgt_xyz': tgt,
+        'src_overlap': np.ones((B, N), np.float32),
+        'tgt_overlap': np.ones((B, N), np.float32),
+        'transform_gt': gt,
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    batch = make_batch()
+    model, state, tx = create_train_state(cfg, steps_per_epoch=10,
+                                          sample_batch=batch)
+    return cfg, batch, model, state, tx
+
+
+def test_single_device_train_step_descends(setup):
+    cfg, batch, model, state, tx = setup
+    # train_step donates its input state; work on a copy so the module-scoped
+    # fixture's buffers survive for the other tests
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    step = make_train_step(model, tx, cfg, mesh=None)
+    dev_batch = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, dev_batch)
+        losses.append(float(np.asarray(metrics['loss'])[0]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]       # overfits one batch
+    assert int(state.step) == 4
+
+
+def test_mesh_train_step_8_devices(setup):
+    cfg, batch, model, state, tx = setup
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(cfg)
+    assert mesh.size == 8
+    step = make_train_step(model, tx, cfg, mesh)
+    shard = NamedSharding(mesh, P('dp'))
+    state = jax.device_put(jax.tree_util.tree_map(jnp.copy, state),
+                           NamedSharding(mesh, P()))
+    dev_batch = {k: jax.device_put(batch[k], shard) for k in BATCH_KEYS}
+    new_state, metrics = step(state, dev_batch)
+    loss = float(np.asarray(metrics['loss'])[0])
+    assert np.isfinite(loss)
+    # params stay replicated after the step
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_eval_step_with_icp(setup):
+    cfg, batch, model, state, tx = setup
+    estep = make_eval_step(model, cfg, mesh=None)
+    dev_batch = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+    metrics = estep(state, dev_batch)
+    assert np.all(np.isfinite(np.asarray(metrics['err_r_deg'])))
+
+
+def test_optimizer_schedule_milestones():
+    cfg = tiny_cfg()
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {'w': jnp.ones((3,))}
+    opt_state = tx.init(params)
+    g = {'w': jnp.ones((3,))}
+    # run well past the 75-epoch milestone (750 steps): lr must drop 10x
+    lrs = []
+    p = params
+    prev = p['w'][0]
+    for i in range(760):
+        updates, opt_state = tx.update(g, opt_state, p)
+        if i in (0, 755):
+            lrs.append(float(jnp.abs(updates['w'][0])))
+        p = jax.tree_util.tree_map(lambda a, b: a + b, p, updates)
+    assert lrs[1] < lrs[0] * 0.5        # schedule decayed
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, batch, model, state, tx = setup
+    ckpt = CheckpointManager(str(tmp_path), "GMMReg")
+    assert not ckpt.has_best()
+    ckpt.save_best(state, epoch=0)
+    assert ckpt.has_best()
+    restored = ckpt.restore(state)
+    assert restored is not None
+    np.testing.assert_array_equal(np.asarray(restored.step),
+                                  np.asarray(state.step))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_graft_entry_dryrun_multichip():
+    # the driver's multi-chip validation path, on the 8-device CPU mesh
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
