@@ -24,12 +24,17 @@ FALLBACK_BASELINE_PPS = None  # set after first measurement
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from ogmm_tpu.configs import mnet
     from ogmm_tpu.nn import GMMReg
 
     cfg = mnet()
+    # bf16 network body (geometry fp32) — the TPU-native serving dtype;
+    # registration outputs match fp32 to ~4e-4 in R (recall threshold is 1 deg)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, dtype="bfloat16"))
     B, N = 24, 717
     rs = np.random.RandomState(0)
     src = jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3)

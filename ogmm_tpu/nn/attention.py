@@ -32,6 +32,8 @@ class PositionEncoding(nn.Module):
     """
     dim: int
     bn_axis_name: str | None = None
+    dtype: str | None = None    # compute dtype for the conv stack; the
+                                # geometry (kNN, angles) stays fp32
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True):
@@ -39,21 +41,25 @@ class PositionEncoding(nn.Module):
         centroid = points.mean(axis=1, keepdims=True)        # (B, 1, 3)
         p2gc = points - centroid                             # (B, N, 3)
         g_dis = (p2gc ** 2).sum(axis=-1, keepdims=True)      # (B, N, 1)
+        if self.dtype is not None:
+            g_dis = g_dis.astype(self.dtype)
 
-        h = nn.Dense(64, use_bias=False)(g_dis)
-        h = nn.leaky_relu(BN(self.bn_axis_name)(h, train), 0.2)
-        h = nn.Dense(self.dim // 2, use_bias=False)(h)
-        dis_feature = nn.leaky_relu(BN(self.bn_axis_name)(h, train), 0.2)
+        h = nn.Dense(64, use_bias=False, dtype=self.dtype)(g_dis)
+        h = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(h, train), 0.2)
+        h = nn.Dense(self.dim // 2, use_bias=False, dtype=self.dtype)(h)
+        dis_feature = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(h, train), 0.2)
 
         idx = knn(points, points, k)
         p2lc = gather_neighbors(points, idx) - points[:, :, None, :]  # (B,N,k,3)
         alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
                            l2_normalize(p2gc))[..., None]    # (B, N, k, 1)
-        a = nn.Dense(64, use_bias=False)(alpha)
-        a = nn.leaky_relu(BN(self.bn_axis_name)(a, train), 0.2)
+        if self.dtype is not None:
+            alpha = alpha.astype(self.dtype)
+        a = nn.Dense(64, use_bias=False, dtype=self.dtype)(alpha)
+        a = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(a, train), 0.2)
         a = a.max(axis=2)                                    # (B, N, 64)
-        a = nn.Dense(self.dim // 2, use_bias=False)(a)
-        ang_feature = nn.leaky_relu(BN(self.bn_axis_name)(a, train), 0.2)
+        a = nn.Dense(self.dim // 2, use_bias=False, dtype=self.dtype)(a)
+        ang_feature = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(a, train), 0.2)
 
         return jnp.concatenate([dis_feature, ang_feature], axis=-1)
 
@@ -66,8 +72,8 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     dh = q.shape[-1]
     scores = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                         preferred_element_type=jnp.float32) / (dh ** 0.5)
-    prob = nn.softmax(scores, axis=-1)
-    return jnp.einsum('bhnm,bmhd->bnhd', prob, v,
+    prob = nn.softmax(scores, axis=-1)     # softmax always in fp32
+    return jnp.einsum('bhnm,bmhd->bnhd', prob.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
 
 
@@ -75,6 +81,7 @@ class MultiHeadAttention(nn.Module):
     """Reference: models/attn.py:85-99 (Conv1d projections -> Dense here)."""
     num_heads: int
     d_model: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, query, key, value):
@@ -82,11 +89,11 @@ class MultiHeadAttention(nn.Module):
         dh = self.d_model // self.num_heads
         B, N, _ = query.shape
         M = key.shape[1]
-        q = nn.Dense(self.d_model)(query).reshape(B, N, self.num_heads, dh)
-        k = nn.Dense(self.d_model)(key).reshape(B, M, self.num_heads, dh)
-        v = nn.Dense(self.d_model)(value).reshape(B, M, self.num_heads, dh)
+        q = nn.Dense(self.d_model, dtype=self.dtype)(query).reshape(B, N, self.num_heads, dh)
+        k = nn.Dense(self.d_model, dtype=self.dtype)(key).reshape(B, M, self.num_heads, dh)
+        v = nn.Dense(self.d_model, dtype=self.dtype)(value).reshape(B, M, self.num_heads, dh)
         x = attention(q, k, v).reshape(B, N, self.d_model)
-        return nn.Dense(self.d_model)(x)                     # merge
+        return nn.Dense(self.d_model, dtype=self.dtype)(x)   # merge
 
 
 class TransformerBlock(nn.Module):
@@ -98,9 +105,11 @@ class TransformerBlock(nn.Module):
     """
     feature_dim: int
     num_heads: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, src, tgt):
-        message = MultiHeadAttention(self.num_heads, self.feature_dim)(src, tgt, tgt)
-        return PointMLP((self.feature_dim * 2, self.feature_dim))(
+        message = MultiHeadAttention(self.num_heads, self.feature_dim,
+                                     self.dtype)(src, tgt, tgt)
+        return PointMLP((self.feature_dim * 2, self.feature_dim), self.dtype)(
             jnp.concatenate([src, message], axis=-1))

@@ -27,16 +27,20 @@ class DGCNN(nn.Module):
     emb_dims: int = 512
     k: int = 20
     bn_axis_name: str | None = None
+    dtype: str | None = None    # compute dtype for the conv stack; the kNN
+                                # graph is built on fp32 xyz either way
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """x: (B, N, 3) points -> (B, N, emb_dims) features."""
         idx = knn(x, x, self.k)                      # one graph, reused
         e = graph_feature(x, self.k, idx=idx)        # (B, N, k, 6)
+        if self.dtype is not None:
+            e = e.astype(self.dtype)                 # halve edge-tensor HBM traffic
 
         def stage(e, ch):
-            h = nn.Dense(ch, use_bias=False)(e)
-            h = BN(self.bn_axis_name)(h, train)
+            h = nn.Dense(ch, use_bias=False, dtype=self.dtype)(e)
+            h = BN(self.bn_axis_name, self.dtype)(h, train)
             return nn.relu(h)
 
         h = stage(e, 64)
@@ -49,6 +53,6 @@ class DGCNN(nn.Module):
         x4 = h.max(axis=2)
 
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)   # (B, N, 512)
-        out = nn.Dense(self.emb_dims, use_bias=False)(cat)
-        out = BN(self.bn_axis_name)(out, train)
+        out = nn.Dense(self.emb_dims, use_bias=False, dtype=self.dtype)(cat)
+        out = BN(self.bn_axis_name, self.dtype)(out, train)
         return nn.relu(out)

@@ -87,15 +87,19 @@ class GMMReg(nn.Module):
             "the reference overlap head mixes src/tgt point axes and requires "
             "equal point counts (models/gmmreg.py:79-80)")
 
-        dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name)
-        pos_enc = PositionEncoding(D, self.bn_axis_name)
-        sattn1 = TransformerBlock(D, cfg.num_heads)
-        cattn = TransformerBlock(D, cfg.num_heads)
-        sattn2 = TransformerBlock(D, cfg.num_heads)
-        conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name)
-        conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name)
-        proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name)
-        overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name)
+        # compute dtype for the network body; geometry (kNN, FPS, clustering,
+        # Procrustes, ICP) always runs fp32
+        dt = None if cfg.dtype in (None, "float32") else cfg.dtype
+
+        dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt)
+        pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
+        sattn1 = TransformerBlock(D, cfg.num_heads, dt)
+        cattn = TransformerBlock(D, cfg.num_heads, dt)
+        sattn2 = TransformerBlock(D, cfg.num_heads, dt)
+        conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+        conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+        proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name, dtype=dt)
+        overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
 
         # --- FPS anchors (reference get_anchor_corrs, random-start FPS) ----
         if self.has_rng('anchors'):
@@ -134,8 +138,11 @@ class GMMReg(nn.Module):
         # (reference models/gmmreg.py:74-89; note the reference weights the
         # *source* scores by src_o gathered along the target axis — a quirk
         # that requires N == M and is preserved bit-for-bit here)
-        sim = jnp.einsum('bnd,bmd->bnm', l2_normalize(src_f),
-                         l2_normalize(tgt_f),
+        def norm32(x):
+            # l2-normalise with fp32 accumulation, matmul in compute dtype
+            return l2_normalize(x.astype(jnp.float32)).astype(x.dtype)
+
+        sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
                          preferred_element_type=jnp.float32)   # (B, N, M)
         src_o = proj(src_f, train)                             # (B, N, 1)
         tgt_o = proj(tgt_f, train)
@@ -143,14 +150,17 @@ class GMMReg(nn.Module):
         tgt_wo = jnp.einsum('bnm,bnd->bmd', jax.nn.softmax(sim, axis=1), tgt_o)
         src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1), train)
         tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1), train)
-        src_o = nn.sigmoid(overlap(src_fo, train)).reshape(B, N)
-        tgt_o = nn.sigmoid(overlap(tgt_fo, train)).reshape(B, M)
+        # overlap scores feed clustering weights + the overlap loss: fp32 out
+        src_o = nn.sigmoid(overlap(src_fo, train).astype(jnp.float32)).reshape(B, N)
+        tgt_o = nn.sigmoid(overlap(tgt_fo, train).astype(jnp.float32)).reshape(B, M)
 
         # --- stage 3: second self-attention --------------------------------
         src_anchor2 = index_points(src_f, src_ids[2])
         tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
-        src_f = sattn2(src_f, src_anchor2) + src_f
-        tgt_f = sattn2(tgt_f, tgt_anchor2) + tgt_f
+        # back to fp32: everything downstream is geometry (clustering EM,
+        # cosine matching, Procrustes) + the contrastive loss
+        src_f = (sattn2(src_f, src_anchor2) + src_f).astype(jnp.float32)
+        tgt_f = (sattn2(tgt_f, tgt_anchor2) + tgt_f).astype(jnp.float32)
 
         # --- overlap-guided clustering (models/gmmreg.py:100-101) ----------
         s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(

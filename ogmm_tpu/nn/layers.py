@@ -28,6 +28,7 @@ from flax import linen as nn
 class BN(nn.Module):
     """torch-semantics BatchNorm over the trailing feature axis."""
     axis_name: str | None = None
+    dtype: str | None = None      # compute dtype; params/stats stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -35,14 +36,19 @@ class BN(nn.Module):
             use_running_average=not train,
             momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """torch InstanceNorm1d (affine=False) for (B, N, C): normalise over N."""
-    mean = x.mean(axis=-2, keepdims=True)
-    var = x.var(axis=-2, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """torch InstanceNorm1d (affine=False) for (B, N, C): normalise over N.
+
+    Moments accumulate in fp32 regardless of the compute dtype (bf16 mean/var
+    over 717 points loses too many bits)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-2, keepdims=True)
+    var = x32.var(axis=-2, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class ConvHead(nn.Module):
@@ -55,17 +61,18 @@ class ConvHead(nn.Module):
     hidden_size: int
     deep: bool = True           # reference `used == 'proj'`
     bn_axis_name: str | None = None
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(self.hidden_size)(x)
-        x = BN(self.bn_axis_name)(x, train)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype)(x)
+        x = BN(self.bn_axis_name, self.dtype)(x, train)
         x = nn.relu(x)
         if self.deep:
-            x = nn.Dense(self.hidden_size)(x)
-            x = BN(self.bn_axis_name)(x, train)
+            x = nn.Dense(self.hidden_size, dtype=self.dtype)(x)
+            x = BN(self.bn_axis_name, self.dtype)(x, train)
             x = nn.relu(x)
-        return nn.Dense(self.out_size)(x)
+        return nn.Dense(self.out_size, dtype=self.dtype)(x)
 
 
 class PointMLP(nn.Module):
@@ -75,12 +82,13 @@ class PointMLP(nn.Module):
     (reference models/attn.py:107).
     """
     channels: Sequence[int]
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch)(x)
+            x = nn.Dense(ch, dtype=self.dtype)(x)
             if i < n - 1:
                 x = instance_norm(x)
                 x = nn.relu(x)

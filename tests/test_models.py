@@ -145,3 +145,43 @@ def test_gmm_register_exact_recovery(rng):
                      jnp.asarray(sigma))
     np.testing.assert_allclose(np.asarray(T[:, :3, :3]), R, atol=1e-3)
     np.testing.assert_allclose(np.asarray(T[:, :3, 3]), t, atol=1e-3)
+
+
+def test_gmmreg_bf16_matches_fp32(pair):
+    """bf16 network body must register within recall tolerance of fp32.
+
+    The bf16 policy casts only the dense/attention stack; geometry (kNN, FPS,
+    EM clustering, Procrustes) stays fp32, so R/t drift should be ~1e-3, far
+    below the 1-degree recall threshold (lib/metric.py:197,225).
+    """
+    src, tgt, _, _ = pair
+    import dataclasses
+    m32 = GMMReg(cfg=TINY)
+    v = m32.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    rot32, tr32, so32, to32, clu32 = m32.apply(v, src, tgt, train=False)
+
+    mbf = GMMReg(cfg=dataclasses.replace(TINY, dtype='bfloat16'))
+    vbf = mbf.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    # param shapes/dtypes identical: bf16 is compute-only, params stay fp32
+    chex_ok = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: a.shape == b.shape and a.dtype == b.dtype,
+        v['params'], vbf['params']))
+    assert chex_ok
+    rotbf, trbf, sobf, tobf, clubf = mbf.apply(v, src, tgt, train=False)
+    assert rotbf.dtype == jnp.float32 and trbf.dtype == jnp.float32
+    assert sobf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(rotbf), np.asarray(rot32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(trbf), np.asarray(tr32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(clubf), np.asarray(clu32), atol=5e-2)
+
+    # gradients flow and stay finite through the bf16 body
+    def loss_fn(params):
+        r, t, so, to, clu = mbf.apply({'params': params,
+                                       'batch_stats': v['batch_stats']},
+                                      src, tgt, train=False)
+        return (r ** 2).sum() + (t ** 2).sum() + clu + so.sum() + to.sum()
+
+    g = jax.grad(loss_fn)(v['params'])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert all(x.dtype == jnp.float32 for x in leaves)
