@@ -15,6 +15,8 @@ from typing import List, Tuple
 import numpy as np
 from scipy.spatial import cKDTree
 
+from ogmm_tpu import native
+
 
 # --------------------------------------------------------------------------
 # SE(3) numpy family (reference datasets/datautils.py:192-236, 425-460)
@@ -119,15 +121,8 @@ def farthest_point_sample(point: np.ndarray, npoint: int, is_idx=False,
     """Sequential FPS over one cloud, random start (reference datautils.py:249-272)."""
     r = rng if rng is not None else np.random
     N = point.shape[0]
-    xyz = point[:, :3]
-    centroids = np.zeros((npoint,), dtype=np.int64)
-    distance = np.full((N,), 1e10)
-    farthest = int(r.randint(0, N))
-    for i in range(npoint):
-        centroids[i] = farthest
-        dist = np.sum((xyz - xyz[farthest]) ** 2, -1)
-        np.minimum(distance, dist, out=distance)
-        farthest = int(np.argmax(distance))
+    farthest = int(r.randint(0, N))  # one RNG draw either path (determinism)
+    centroids = native.fps_indices(point, npoint, farthest)
     sampled = point[centroids]
     return (sampled, centroids.astype(np.int32)) if is_idx else sampled
 
@@ -175,20 +170,14 @@ def overlap_labels(src: np.ndarray, tgt: np.ndarray, transf: np.ndarray,
     aligned) cloud lies within `thresh`. Matches the reference's KD-tree
     radius search semantics (lib/o3dutils.py:123-135, 217-226)."""
     src_t = transform(transf, src[:, :3])
-    tree = cKDTree(tgt[:, :3])
-    neigh = tree.query_ball_point(src_t, thresh)
-    src_label = np.array([len(n) > 0 for n in neigh], dtype=np.float64)
-    tgt_label = np.zeros(tgt.shape[0])
-    hit = sorted({j for n in neigh for j in n})
-    tgt_label[hit] = 1.0
-    return src_label, tgt_label
+    src_label, tgt_label = native.radius_overlap(src_t, tgt, thresh)
+    return src_label.astype(np.float64), tgt_label.astype(np.float64)
 
 
 def nearest_neighbor(src: np.ndarray, dst: np.ndarray):
-    """1-NN via cKDTree (reference datautils.py:23-39 uses sklearn)."""
-    tree = cKDTree(dst)
-    distances, indices = tree.query(src, k=1)
-    return distances.ravel(), indices.ravel()
+    """1-NN (reference datautils.py:23-39 uses sklearn KD-trees)."""
+    distances, indices = native.nearest_neighbor(src, dst)
+    return distances, indices
 
 
 # --------------------------------------------------------------------------
