@@ -96,24 +96,8 @@ def wkeans(x: jnp.ndarray, num_clusters: int, dst: str = 'feats',
     return gamma, pi, centroids
 
 
-def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
-                n_clusters: int, iters: int = 10, tau: float = 1.0):
-    """Overlap-weighted Sinkhorn-EM clustering (the OGMM core).
-
-    E-step: Sinkhorn on cdist(xyz, nodes)/tau with row marginal p = normalised
-    overlap scores; M-step: weighted means. All EM iterations run under
-    stop_gradient; gradients flow only through the final node_feats moments
-    (reference lib/utils.py:269-291: `with torch.no_grad()` + `.detach()`).
-
-    Returns (gamma (B,N,K), pi (B,K), node_xyz (B,K,3), node_feats (B,K,C)).
-    """
-    ids = farthest_point_sample(xyz, n_clusters, is_center=True)
-    node_xyz0 = index_points(xyz, ids)
-    o = jax.lax.stop_gradient(o_scores)
-    o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)
-
-    xyz_sg = jax.lax.stop_gradient(xyz)
-
+def _em_jnp(xyz_sg, o, node_xyz0, iters, tau):
+    """Reference jnp composition of the EM loop (HBM round-trip per step)."""
     def body(carry, _):
         node_xyz, _, _ = carry
         cost = jnp.maximum(cdist(xyz_sg, node_xyz), 0.0) / tau
@@ -123,11 +107,47 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
         pi, node_xyz = gmm_params(gamma, xyz_sg)
         return (node_xyz, gamma, pi), None
 
-    B, N, _ = xyz.shape
-    gamma0 = jnp.ones((B, N, n_clusters), dtype=xyz.dtype)
-    pi0 = jnp.full((B, n_clusters), 1.0 / n_clusters, dtype=xyz.dtype)
+    B, N, _ = xyz_sg.shape
+    n_clusters = node_xyz0.shape[1]
+    gamma0 = jnp.ones((B, N, n_clusters), dtype=xyz_sg.dtype)
+    pi0 = jnp.full((B, n_clusters), 1.0 / n_clusters, dtype=xyz_sg.dtype)
     (node_xyz, gamma, pi), _ = jax.lax.scan(
-        body, (jax.lax.stop_gradient(node_xyz0), gamma0, pi0), None, length=iters)
+        body, (node_xyz0, gamma0, pi0), None, length=iters)
+    return gamma, pi, node_xyz
+
+
+def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
+                n_clusters: int, iters: int = 10, tau: float = 1.0,
+                use_pallas: bool | None = None):
+    """Overlap-weighted Sinkhorn-EM clustering (the OGMM core).
+
+    E-step: Sinkhorn on cdist(xyz, nodes)/tau with row marginal p = normalised
+    overlap scores; M-step: weighted means. All EM iterations run under
+    stop_gradient; gradients flow only through the final node_feats moments
+    (reference lib/utils.py:269-291: `with torch.no_grad()` + `.detach()`).
+
+    On TPU the EM loop runs as one fused Pallas kernel that keeps the (N, K)
+    block VMEM-resident for all iters*sk_iters trips (ops/pallas_em.py);
+    `use_pallas=None` selects it automatically by backend. The jnp path is
+    the portable fallback and the numerical reference.
+
+    Returns (gamma (B,N,K), pi (B,K), node_xyz (B,K,3), node_feats (B,K,C)).
+    """
+    ids = farthest_point_sample(xyz, n_clusters, is_center=True)
+    node_xyz0 = index_points(xyz, ids)
+    o = jax.lax.stop_gradient(o_scores)
+    o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)
+    xyz_sg = jax.lax.stop_gradient(xyz)
+    node_xyz0 = jax.lax.stop_gradient(node_xyz0)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from ogmm_tpu.ops.pallas_em import sinkhorn_em
+        gamma, pi, node_xyz = sinkhorn_em(xyz_sg, o, node_xyz0,
+                                          iters=iters, sk_iters=10, tau=tau)
+    else:
+        gamma, pi, node_xyz = _em_jnp(xyz_sg, o, node_xyz0, iters, tau)
     gamma = jax.lax.stop_gradient(gamma)
     pi = jax.lax.stop_gradient(pi)
     node_xyz = jax.lax.stop_gradient(node_xyz)

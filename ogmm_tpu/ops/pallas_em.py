@@ -1,0 +1,128 @@
+"""Fused Sinkhorn-EM clustering kernel (Pallas TPU).
+
+The OGMM clustering hot loop (reference lib/utils.py:269-291, our
+ops/gmm.py:wkeans_plus) runs `iters` EM trips, each containing a
+`sk_iters`-step log-domain Sinkhorn over the (B, N, K) cost block. Composed
+from jnp ops, every logsumexp round-trips the (N, K) block through HBM —
+~2 * iters * sk_iters passes over B*N*K*4 bytes (≈3.5 GB at the reference
+geometry B=24, N=717, K=128). One (N, K) fp32 block is only ~370 KB, far
+under the ~16 MB of VMEM, so the whole EM fits on-chip: this kernel grids
+over the batch and keeps cost/gamma/u/v resident in VMEM for the entire
+nested loop. HBM traffic drops to one read of xyz + one write of
+(gamma, pi, nodes).
+
+Semantics match ops/gmm.py:wkeans_plus (jnp composition) step for step:
+  E-step  sinkhorn(cost=cdist(xyz,nodes)/tau, p=o_norm, q=1/K, eps, fixed trips)
+  gamma   exp(log-plan), nan-guard, row-normalise with 1e-3 clamp
+  M-step  pi = mean_n gamma;  nodes = gamma^T xyz / (pi*N + 1e-5)
+The EM runs entirely under stop_gradient in the caller (reference
+torch.no_grad, lib/utils.py:278-289), so the kernel needs no VJP.
+
+Matmuls use fp32 HIGHEST precision — they contract tiny D=3 axes where
+bf16 MXU passes would perturb distances enough to flip cluster assignments.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
+               iters: int, sk_iters: int, tau: float, eps: float):
+    xyz = xyz_ref[0]                      # (N, 3) f32
+    o = o_ref[0]                          # (N, 1)
+    N = xyz.shape[0]
+    K = nodes0_ref.shape[1]
+
+    log_p = jnp.log(o + 1e-8)                               # (N, 1)
+    log_q = jnp.log(1.0 / K + 1e-8)                         # scalar
+    x_sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)       # (N, 1)
+
+    def em_body(_, carry):
+        nodes, _, _ = carry
+        # ---- cost = max(cdist, 0) / tau (ops/gmm.py:119) ----------------
+        n_sq = jnp.sum(nodes * nodes, axis=-1)[None, :]      # (1, K)
+        inner = jax.lax.dot_general(
+            xyz, nodes, (((1,), (1,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32)  # (N, K)
+        d2 = jnp.maximum(x_sq + n_sq - 2.0 * inner, 1e-12)
+        cost = jnp.sqrt(d2) / tau
+
+        # ---- log-domain Sinkhorn, fixed trips (ops/sinkhorn.py) ---------
+        def sk_body(_, uv):
+            u, v = uv                                       # (N,1), (1,K)
+            lk = (-cost + u + v) / eps
+            m = jnp.max(lk, axis=1, keepdims=True)
+            lse = m + jnp.log(jnp.sum(jnp.exp(lk - m), axis=1, keepdims=True))
+            u = eps * (log_p - lse) + u
+            lk = (-cost + u + v) / eps
+            m = jnp.max(lk, axis=0, keepdims=True)
+            lse = m + jnp.log(jnp.sum(jnp.exp(lk - m), axis=0, keepdims=True))
+            v = eps * (log_q - lse) + v
+            return u, v
+
+        u0 = jnp.zeros((N, 1), jnp.float32)
+        v0 = jnp.zeros((1, K), jnp.float32)
+        u, v = jax.lax.fori_loop(0, sk_iters, sk_body, (u0, v0))
+        gamma = jnp.exp((-cost + u + v) / eps)
+        gamma = jnp.where(jnp.isfinite(gamma), gamma, 0.0)   # nan_to_num
+        gamma = gamma / jnp.maximum(
+            jnp.sum(gamma, axis=1, keepdims=True), 1e-3)
+
+        # ---- M-step (gmm_params, lib/utils.py:130-149) ------------------
+        pi = jnp.mean(gamma, axis=0)                         # (K,)
+        npi = pi * N + 1e-5
+        mu = jax.lax.dot_general(
+            gamma, xyz, (((0,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32)  # (K, 3)
+        return mu / npi[:, None], gamma, pi
+
+    carry0 = (nodes0_ref[0],
+              jnp.ones((N, K), jnp.float32),
+              jnp.full((K,), 1.0 / K, jnp.float32))
+    nodes, gamma, pi = jax.lax.fori_loop(0, iters, em_body, carry0)
+
+    gamma_ref[0] = gamma
+    pi_ref[0] = pi[:, None]               # (K, 1) — tiling-friendly layout
+    nodes_ref[0] = nodes
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sk_iters", "tau",
+                                             "eps", "interpret"))
+def sinkhorn_em(xyz: jnp.ndarray, o_norm: jnp.ndarray, nodes0: jnp.ndarray,
+                iters: int = 10, sk_iters: int = 10, tau: float = 1.0,
+                eps: float = 1e-2, interpret: bool = False):
+    """Fused EM: (B,N,3) xyz, (B,N) normalised marginal, (B,K,3) init nodes
+    -> (gamma (B,N,K), pi (B,K), nodes (B,K,3)). No gradient path (caller
+    wraps in stop_gradient, mirroring reference torch.no_grad)."""
+    B, N, _ = xyz.shape
+    K = nodes0.shape[1]
+    kern = functools.partial(_em_kernel, iters=iters, sk_iters=sk_iters,
+                             tau=float(tau), eps=float(eps))
+
+    # Mosaic tiling rule: the last two dims of each block must be divisible
+    # by (8, 128) or equal the full array dims — so every operand is rank-3
+    # (1, rows, cols) with rows/cols equal to the array's, and (B,)-shaped
+    # vectors travel as (B, X, 1).
+    def bs(*shape):
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    gamma, pi, nodes = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[bs(N, 3), bs(N, 1), bs(K, 3)],
+        out_specs=(bs(N, K), bs(K, 1), bs(K, 3)),
+        out_shape=(jax.ShapeDtypeStruct((B, N, K), jnp.float32),
+                   jax.ShapeDtypeStruct((B, K, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, K, 3), jnp.float32)),
+        interpret=interpret,
+    )(xyz.astype(jnp.float32), o_norm.astype(jnp.float32)[..., None],
+      nodes0.astype(jnp.float32))
+    return gamma, pi[..., 0], nodes

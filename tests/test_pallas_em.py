@@ -1,0 +1,72 @@
+"""Fused Pallas Sinkhorn-EM kernel vs the jnp reference composition.
+
+Runs in interpreter mode on the CPU test platform (the TPU-compiled path is
+exercised on-chip by bench.py / the verify flow); parity here is numerical,
+comparing against ops/gmm.py's scan-of-sinkhorn composition.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogmm_tpu.ops.common import index_points
+from ogmm_tpu.ops.fps import farthest_point_sample
+from ogmm_tpu.ops.gmm import _em_jnp, gmm_params, wkeans_plus
+from ogmm_tpu.ops.pallas_em import sinkhorn_em
+
+
+def _inputs(rng, B=2, N=96, K=16):
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.4)
+    o = jnp.asarray(rng.rand(B, N).astype(np.float32))
+    o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)
+    ids = farthest_point_sample(xyz, K, is_center=True)
+    nodes0 = index_points(xyz, ids)
+    return xyz, o, nodes0
+
+
+def test_fused_em_matches_jnp_reference(rng):
+    xyz, o, nodes0 = _inputs(rng)
+    g_ref, pi_ref, n_ref = _em_jnp(xyz, o, nodes0, iters=4, tau=1.0)
+    g, pi, n = sinkhorn_em(xyz, o, nodes0, iters=4, sk_iters=10, tau=1.0,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(pi_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_em_unaligned_shapes(rng):
+    # N=717-like unaligned sublane count, K not a lane multiple
+    xyz, o, nodes0 = _inputs(rng, B=1, N=101, K=8)
+    g_ref, pi_ref, n_ref = _em_jnp(xyz, o, nodes0, iters=2, tau=0.5)
+    g, pi, n = sinkhorn_em(xyz, o, nodes0, iters=2, sk_iters=10, tau=0.5,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wkeans_plus_pallas_flag_parity(rng):
+    B, N, K, C = 2, 64, 8, 32
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    o = jnp.asarray(rng.rand(B, N).astype(np.float32))
+
+    out_jnp = wkeans_plus(xyz, feats, o, K, iters=3, use_pallas=False)
+
+    # route the pallas path through the interpreter on CPU
+    import ogmm_tpu.ops.pallas_em as pe
+    orig = pe.sinkhorn_em
+    import functools
+    try:
+        pe.sinkhorn_em = functools.partial(orig, interpret=True)
+        out_pl = wkeans_plus(xyz, feats, o, K, iters=3, use_pallas=True)
+    finally:
+        pe.sinkhorn_em = orig
+
+    names = ["gamma", "pi", "node_xyz", "node_feats"]
+    for name, a, b in zip(names, out_jnp, out_pl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
