@@ -54,8 +54,13 @@ def _gt_rt(batch):
 
 
 def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
-    """Returns jitted (state, batch) -> (state, metrics)."""
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    GMMReg trains on the composite loss (reference train.py:69-71); DeepGMR
+    (2-output forward) trains on dcp_loss alone (reference train_base.py:57).
+    """
     t = cfg.train
+    is_gmmreg = cfg.model_name == "GMMReg"
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         state, key = state.next_rng()
@@ -67,13 +72,18 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
                 {'params': params, 'batch_stats': state.batch_stats},
                 src, tgt, train=True,
                 mutable=['batch_stats'], rngs={'anchors': key})
-            rot, trans, src_o, tgt_o, clu = out
-            loss = composite_loss(
-                rot, trans, clu, src_o, tgt_o, rot_gt, trans_gt,
-                batch['src_overlap'], batch['tgt_overlap'], src, tgt,
-                w_dcp=t.w_dcp, w_clu=t.w_clu, w_overlap=t.w_overlap,
-                w_welsch=t.w_welsch, welsch_alpha=t.mu,
-                welsch_topk=t.n_keypoints)
+            if is_gmmreg:
+                rot, trans, src_o, tgt_o, clu = out
+                loss = composite_loss(
+                    rot, trans, clu, src_o, tgt_o, rot_gt, trans_gt,
+                    batch['src_overlap'], batch['tgt_overlap'], src, tgt,
+                    w_dcp=t.w_dcp, w_clu=t.w_clu, w_overlap=t.w_overlap,
+                    w_welsch=t.w_welsch, welsch_alpha=t.mu,
+                    welsch_topk=t.n_keypoints)
+            else:
+                rot, trans = out
+                clu = jnp.zeros((), src.dtype)
+                loss = dcp_loss(rot, rot_gt, trans, trans_gt)
             return loss, (mut['batch_stats'], rot, trans, clu)
 
         (loss, (bstats, rot, trans, clu)), grads = jax.value_and_grad(
@@ -102,17 +112,25 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
     """Returns jitted (state, batch) -> metrics (with ICP refinement)."""
     t = cfg.train
 
+    is_gmmreg = cfg.model_name == "GMMReg"
+
     def step(state: TrainState, batch):
         src, tgt = batch['src_xyz'], batch['tgt_xyz']
         rot_gt, trans_gt = _gt_rt(batch)
-        rot, trans, src_o, tgt_o, clu = model.apply(
+        out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             src, tgt, train=False, is_test=is_test)
-        loss = composite_loss(
-            rot, trans, clu, src_o, tgt_o, rot_gt, trans_gt,
-            batch['src_overlap'], batch['tgt_overlap'], src, tgt,
-            w_dcp=t.w_dcp, w_clu=t.w_clu, w_overlap=t.w_overlap,
-            w_welsch=t.w_welsch, welsch_alpha=t.mu, welsch_topk=t.n_keypoints)
+        if is_gmmreg:
+            rot, trans, src_o, tgt_o, clu = out
+            loss = composite_loss(
+                rot, trans, clu, src_o, tgt_o, rot_gt, trans_gt,
+                batch['src_overlap'], batch['tgt_overlap'], src, tgt,
+                w_dcp=t.w_dcp, w_clu=t.w_clu, w_overlap=t.w_overlap,
+                w_welsch=t.w_welsch, welsch_alpha=t.mu,
+                welsch_topk=t.n_keypoints)
+        else:
+            rot, trans = out
+            loss = dcp_loss(rot, rot_gt, trans, trans_gt)
         metrics = dcp_metrics(src, tgt, rot_gt, trans_gt, rot, trans)
         metrics['loss'] = jnp.broadcast_to(loss, rot.shape[:1])
         return metrics
@@ -139,7 +157,8 @@ class Trainer:
     then discards, train.py:29-30, 100-104)."""
 
     def __init__(self, cfg: Config, model, state: TrainState, tx,
-                 mesh: Optional[Mesh] = None, checkpointer=None):
+                 mesh: Optional[Mesh] = None, checkpointer=None,
+                 profile_dir: Optional[str] = None):
         self.cfg = cfg
         self.model = model
         self.state = state
@@ -151,18 +170,36 @@ class Trainer:
             NamedSharding(mesh, P(mesh.axis_names[0])) if mesh else None)
         self.best = {'pcab_dist': np.inf}
         self.history = []
+        # jax.profiler capture of a few warm steps (the tracing subsystem the
+        # reference lacks, SURVEY.md §5.1): epoch 0 steps [5, 10) -> XPlane
+        # trace viewable in TensorBoard / xprof.
+        self.profile_dir = profile_dir
+        self._profile_window = (5, 10)
 
     def train_epoch(self, epoch: int, loader) -> Dict[str, float]:
         acc = defaultdict(list)
         n_pairs = 0
+        profiling = False
         t0 = time.perf_counter()
-        for batch in loader:
-            dev_batch = _device_batch(batch, self.batch_sharding)
-            self.state, metrics = self.train_step(self.state, dev_batch)
+        for i, batch in enumerate(loader):
+            if self.profile_dir and epoch == 0:
+                if i == self._profile_window[0]:
+                    jax.profiler.start_trace(self.profile_dir)
+                    profiling = True
+                elif i == self._profile_window[1] and profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s", self.profile_dir)
+            with jax.profiler.StepTraceAnnotation("train", step_num=i):
+                dev_batch = _device_batch(batch, self.batch_sharding)
+                self.state, metrics = self.train_step(self.state, dev_batch)
             n_pairs += batch['src_xyz'].shape[0]
             for k, v in metrics.items():
                 acc[k].append(v)
         jax.block_until_ready(self.state.params)
+        if profiling:
+            jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
         summary = summarize_metrics(
             {k: np.concatenate([np.asarray(x) for x in v]) for k, v in acc.items()})

@@ -131,3 +131,24 @@ def test_graft_entry_dryrun_multichip():
     # the driver's multi-chip validation path, on the 8-device CPU mesh
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_deepgmr_train_step_descends():
+    """DeepGMR path: 2-output forward trains on dcp_loss alone
+    (reference train_base.py:57, 149-209)."""
+    cfg = tiny_cfg().replace(model_name="DeepGMR")
+    batch = make_batch(seed=3)
+    model, state, tx = create_train_state(cfg, steps_per_epoch=10,
+                                          sample_batch=batch)
+    step = make_train_step(model, tx, cfg, mesh=None)
+    dev_batch = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, dev_batch)
+        losses.append(float(np.asarray(metrics['loss'])[0]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # eval path with ICP refinement
+    ev = make_eval_step(model, cfg, mesh=None)
+    m = ev(state, dev_batch)
+    assert np.all(np.isfinite(np.asarray(m['loss'])))

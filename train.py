@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument('--km_clusters', type=int, default=None)
     p.add_argument('--num_heads', type=int, default=None)
     p.add_argument('--gnn_k', type=int, default=None)
+    p.add_argument('--dtype', type=str, default=None,
+                   choices=['float32', 'bfloat16'],
+                   help='network-body compute dtype (geometry stays fp32)')
     p.add_argument('--batch_size', type=int, default=None)
     p.add_argument('--test_batch_size', type=int, default=None)
     p.add_argument('--epochs', type=int, default=None)
@@ -45,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument('--steps_per_epoch', type=int, default=None,
                    help='cap optimizer steps per epoch (smoke runs)')
     p.add_argument('--eval_only', action='store_true')
+    p.add_argument('--profile_dir', type=str, default=None,
+                   help='capture a jax.profiler trace of epoch-0 steps 5-10')
     return p.parse_args(argv)
 
 
@@ -54,7 +59,8 @@ def build_config(args):
     model_kw, data_kw, train_kw, top_kw = {}, {}, {}, {}
     if args.model:
         top_kw['model_name'] = args.model
-    for k in ('emb_dims', 'n_clusters', 'km_clusters', 'num_heads', 'gnn_k'):
+    for k in ('emb_dims', 'n_clusters', 'km_clusters', 'num_heads', 'gnn_k',
+              'dtype'):
         v = getattr(args, k)
         if v is not None:
             model_kw[k] = v
@@ -132,7 +138,8 @@ def main(argv=None):
         logger.info("restored full train state from optim_model")
         state = restored
 
-    trainer = Trainer(cfg, model, state, tx, mesh=mesh, checkpointer=ckpt)
+    trainer = Trainer(cfg, model, state, tx, mesh=mesh, checkpointer=ckpt,
+                      profile_dir=args.profile_dir)
     if args.eval_only:
         trainer.eval_epoch(0, test_loader)
     else:
