@@ -37,6 +37,10 @@ class ModelConfig:
     recompute_anchors: bool = False
     # compute dtype for the network body (geometry stays fp32)
     dtype: str = "float32"
+    # eval-mode siamese stacking: run src/tgt through the per-cloud stages
+    # as one (2B, N, .) batch — identical math per sample, half the serial
+    # FPS/EM trips. Training always runs per-cloud (BN batch-stats parity).
+    stack_eval: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,26 +1,38 @@
-"""DGCNN edge-conv encoder, channel-last.
+"""DGCNN edge-conv encoder, channel-last, with a fully-fused eval path.
 
 Reference: models/dgcnn.py:118-154. Five 1x1-conv stages over edge features
 from a single kNN graph built on the raw xyz input; each stage is
-Dense -> BN -> ReLU -> max over the k neighbour axis; the four stage outputs
-concatenate (64+64+128+256 = 512) into a final Dense(emb_dims) -> BN -> ReLU.
+Dense -> BN -> ReLU with a max over the k neighbour axis tapped off after
+each; the four tap-offs concatenate (64+64+128+256 = 512) into a final
+Dense(emb_dims) -> BN -> ReLU.
 
-TPU notes:
-  * The kNN graph is one (B, N, N) distance matmul + top_k — MXU work; the
-    graph is computed once on xyz and reused by all stages, exactly like the
-    reference (models/dgcnn.py:135-137).
-  * Edge tensors are (B, N, k, C) channel-last, so every stage is a Dense on
-    the lane axis and the k-max is a VPU reduction — no transposes anywhere.
-  * Stage convs carry no bias (reference Conv2d bias=False); BN supplies the
-    shift.
+Two compute paths over ONE parameter set (explicit self.param/self.variable
+— checkpoints are interchangeable between paths):
+
+  * naive (training + CPU): jnp composition — kNN graph, materialised
+    (B, N, k, C) edge tensor, per-stage matmuls. BN uses batch statistics
+    and updates running stats; autodiff works.
+  * fused (eval on TPU): one Pallas kernel per 128-query tile computes the
+    distance block, the k neighbour passes, all stage matmuls, maxes, and
+    the final Dense without the edge tensor ever reaching HBM
+    (ops/pallas_dgcnn.py). BN folds into per-channel affines from running
+    stats. Not differentiable — selected only when train=False on a TPU
+    backend (or via `fused`).
+
+BatchNorm here is a manual implementation with torch/flax semantics:
+eps=1e-5, biased variance, running = 0.9*running + 0.1*batch, stats in fp32,
+normalisation in the compute dtype, optional cross-replica pmean via
+`bn_axis_name` (under jit/pjit stats are already global — sync-BN).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ogmm_tpu.nn.layers import BN
 from ogmm_tpu.ops.common import graph_feature, knn
+
+_STAGES = (64, 64, 128, 256)
 
 
 class DGCNN(nn.Module):
@@ -29,30 +41,90 @@ class DGCNN(nn.Module):
     bn_axis_name: str | None = None
     dtype: str | None = None    # compute dtype for the conv stack; the kNN
                                 # graph is built on fp32 xyz either way
+    fused: bool | None = None   # None = auto (eval + TPU backend)
+
+    def _bn(self, name: str, z: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """BatchNorm over all axes but the last (torch BN2d semantics)."""
+        C = z.shape[-1]
+        scale = self.param(f'{name}_scale', nn.initializers.ones, (C,))
+        bias = self.param(f'{name}_bias', nn.initializers.zeros, (C,))
+        ra_mean = self.variable('batch_stats', f'{name}_mean',
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable('batch_stats', f'{name}_var',
+                               lambda: jnp.ones((C,), jnp.float32))
+        if train:
+            z32 = z.astype(jnp.float32)
+            axes = tuple(range(z.ndim - 1))
+            mean = z32.mean(axes)
+            var = z32.var(axes)
+            if self.bn_axis_name is not None:
+                mean = jax.lax.pmean(mean, self.bn_axis_name)
+                var = jax.lax.pmean(var, self.bn_axis_name)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        dt = z.dtype
+        inv = jax.lax.rsqrt(var + 1e-5)
+        return ((z - mean.astype(dt)) * (inv * scale).astype(dt)
+                + bias.astype(dt))
+
+    def _folded_affine(self, name: str, C: int):
+        """(scale, bias) folding BN running stats — the eval-mode affine."""
+        scale = self.param(f'{name}_scale', nn.initializers.ones, (C,))
+        bias = self.param(f'{name}_bias', nn.initializers.zeros, (C,))
+        mean = self.variable('batch_stats', f'{name}_mean',
+                             lambda: jnp.zeros((C,), jnp.float32)).value
+        var = self.variable('batch_stats', f'{name}_var',
+                            lambda: jnp.ones((C,), jnp.float32)).value
+        s = scale * jax.lax.rsqrt(var + 1e-5)
+        return s, bias - mean * s
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """x: (B, N, 3) points -> (B, N, emb_dims) features."""
+        init = nn.initializers.lecun_normal()
+        dims = [6] + list(_STAGES)
+        ws = [self.param(f'w{i+1}', init, (dims[i], dims[i + 1]))
+              for i in range(4)]
+        w5 = self.param('w5', init, (sum(_STAGES), self.emb_dims))
+
+        fused = self.fused
+        if fused is None:
+            from ogmm_tpu.ops.dispatch import use_pallas as _auto
+            # N bound: the fused kernel holds an (N, N) f32 block in VMEM
+            fused = (not train) and x.shape[1] <= 1024 and _auto()
+
+        if fused and not self.is_initializing():
+            from ogmm_tpu.ops.pallas_dgcnn import dgcnn_eval_pallas
+            affines = [self._folded_affine(f'bn{i+1}', dims[i + 1])
+                       for i in range(4)]
+            affines.append(self._folded_affine('bn5', self.emb_dims))
+            dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+            return dgcnn_eval_pallas(x, ws + [w5], affines, k=self.k,
+                                     dtype=dt)
+
         idx = knn(x, x, self.k)                      # one graph, reused
         e = graph_feature(x, self.k, idx=idx)        # (B, N, k, 6)
         if self.dtype is not None:
             e = e.astype(self.dtype)                 # halve edge-tensor HBM traffic
 
-        def stage(e, ch):
-            h = nn.Dense(ch, use_bias=False, dtype=self.dtype)(e)
-            h = BN(self.bn_axis_name, self.dtype)(h, train)
-            return nn.relu(h)
+        def stage(h, i):
+            z = jnp.einsum('...i,io->...o', h, ws[i].astype(h.dtype),
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            return nn.relu(self._bn(f'bn{i+1}', z, train))
 
-        h = stage(e, 64)
+        h = stage(e, 0)
         x1 = h.max(axis=2)                           # (B, N, 64)
-        h = stage(h, 64)
+        h = stage(h, 1)
         x2 = h.max(axis=2)
-        h = stage(h, 128)
+        h = stage(h, 2)
         x3 = h.max(axis=2)
-        h = stage(h, 256)
+        h = stage(h, 3)
         x4 = h.max(axis=2)
 
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)   # (B, N, 512)
-        out = nn.Dense(self.emb_dims, use_bias=False, dtype=self.dtype)(cat)
-        out = BN(self.bn_axis_name, self.dtype)(out, train)
-        return nn.relu(out)
+        z = jnp.einsum('...i,io->...o', cat, w5.astype(cat.dtype),
+                       preferred_element_type=jnp.float32).astype(cat.dtype)
+        return nn.relu(self._bn('bn5', z, train))

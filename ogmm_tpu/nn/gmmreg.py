@@ -107,66 +107,128 @@ class GMMReg(nn.Module):
             ks = list(jax.random.split(kroot, 6))
         else:
             ks = [None] * 6
-        n_stages = 3 if cfg.recompute_anchors else 1
-        src_ids = [farthest_point_sample(src, km, is_center=False, key=ks[i])
-                   for i in range(n_stages)]
-        tgt_ids = [farthest_point_sample(tgt, km, is_center=False, key=ks[3 + i])
-                   for i in range(n_stages)]
-        if not cfg.recompute_anchors:
-            src_ids = src_ids * 3
-            tgt_ids = tgt_ids * 3
 
-        # --- stage 0: features + position encoding ------------------------
-        src_feats = dgcnn(src, train)                          # (B, N, D)
-        tgt_feats = dgcnn(tgt, train)
-        src_anchor0 = index_points(src_feats, src_ids[0])      # (B, km, D)
-        tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
-        src_t = src_feats + pos_enc(src, cfg.pos_k, train)
-        tgt_t = tgt_feats + pos_enc(tgt, cfg.pos_k, train)
-
-        # --- stage 1: anchor-conditioned self-attention --------------------
-        src_t = conv1(sattn1(src_t, src_anchor0) + src_t, train)
-        tgt_t = conv1(sattn1(tgt_t, tgt_anchor0) + tgt_t, train)
-
-        # --- stage 2: cross-attention via anchors --------------------------
-        src_anchor1 = index_points(src_t, src_ids[1])
-        tgt_anchor1 = index_points(tgt_t, tgt_ids[1])
-        src_f = cattn(src_t, tgt_anchor1) + src_t
-        tgt_f = cattn(tgt_t, src_anchor1) + tgt_t
-
-        # --- overlap head ---------------------------------------------------
-        # (reference models/gmmreg.py:74-89; note the reference weights the
-        # *source* scores by src_o gathered along the target axis — a quirk
-        # that requires N == M and is preserved bit-for-bit here)
         def norm32(x):
             # l2-normalise with fp32 accumulation, matmul in compute dtype
             return l2_normalize(x.astype(jnp.float32)).astype(x.dtype)
 
-        sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
-                         preferred_element_type=jnp.float32)   # (B, N, M)
-        src_o = proj(src_f, train)                             # (B, N, 1)
-        tgt_o = proj(tgt_f, train)
-        src_wo = jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(sim, axis=-1), src_o)
-        tgt_wo = jnp.einsum('bnm,bnd->bmd', jax.nn.softmax(sim, axis=1), tgt_o)
-        src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1), train)
-        tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1), train)
-        # overlap scores feed clustering weights + the overlap loss: fp32 out
-        src_o = nn.sigmoid(overlap(src_fo, train).astype(jnp.float32)).reshape(B, N)
-        tgt_o = nn.sigmoid(overlap(tgt_fo, train).astype(jnp.float32)).reshape(B, M)
+        # At eval every per-cloud stage is a per-sample map, so src and tgt
+        # run STACKED as one (2B, N, .) batch: half the serial FPS/EM trips
+        # and kernel dispatches, double the matmul heights. Training keeps
+        # per-cloud calls — the reference updates BN batch statistics once
+        # per cloud (models/gmmreg.py:52-53) and stacking would change them.
+        stacked = (not train) and cfg.stack_eval
 
-        # --- stage 3: second self-attention --------------------------------
-        src_anchor2 = index_points(src_f, src_ids[2])
-        tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
-        # back to fp32: everything downstream is geometry (clustering EM,
-        # cosine matching, Procrustes) + the contrastive loss
-        src_f = (sattn2(src_f, src_anchor2) + src_f).astype(jnp.float32)
-        tgt_f = (sattn2(tgt_f, tgt_anchor2) + tgt_f).astype(jnp.float32)
+        if stacked:
+            both = jnp.concatenate([src, tgt], axis=0)          # (2B, N, 3)
+            n_stages = 3 if cfg.recompute_anchors else 1
+            ids = [farthest_point_sample(both, km, is_center=False, key=ks[i])
+                   for i in range(n_stages)]
+            if not cfg.recompute_anchors:
+                ids = ids * 3
 
-        # --- overlap-guided clustering (models/gmmreg.py:100-101) ----------
-        s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(
-            src, src_f, src_o, cfg.n_clusters, iters=cfg.em_iters, tau=cfg.tau)
-        t_gamma, t_pi, t_nodes, t_nfeats = wkeans_plus(
-            tgt, tgt_f, tgt_o, cfg.n_clusters, iters=cfg.em_iters, tau=cfg.tau)
+            feats = dgcnn(both, train)                          # (2B, N, D)
+            anchor0 = index_points(feats, ids[0])
+            t_all = feats + pos_enc(both, cfg.pos_k, train)
+            t_all = conv1(sattn1(t_all, anchor0) + t_all, train)
+
+            anchor1 = index_points(t_all, ids[1])
+            swapped = jnp.concatenate([anchor1[B:], anchor1[:B]], axis=0)
+            f_all = cattn(t_all, swapped) + t_all
+
+            src_f, tgt_f = f_all[:B], f_all[B:]
+            sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
+                             preferred_element_type=jnp.float32)
+            o_all = proj(f_all, train)                          # (2B, N, 1)
+            src_o, tgt_o = o_all[:B], o_all[B:]
+            src_wo = jnp.einsum('bnm,bmd->bnd',
+                                jax.nn.softmax(sim, axis=-1), src_o)
+            tgt_wo = jnp.einsum('bnm,bnd->bmd',
+                                jax.nn.softmax(sim, axis=1), tgt_o)
+            wo_all = jnp.concatenate([src_wo, tgt_wo], axis=0)
+            fo_all = conv2(jnp.concatenate([f_all, wo_all, o_all], axis=-1),
+                           train)
+            o_all = nn.sigmoid(
+                overlap(fo_all, train).astype(jnp.float32)).reshape(2 * B, N)
+
+            anchor2 = index_points(f_all, ids[2])
+            f_all = (sattn2(f_all, anchor2) + f_all).astype(jnp.float32)
+
+            g_all, pi_all, n_all, nf_all = wkeans_plus(
+                both, f_all, o_all, cfg.n_clusters, iters=cfg.em_iters,
+                tau=cfg.tau)
+            src_f, tgt_f = f_all[:B], f_all[B:]
+            src_o, tgt_o = o_all[:B], o_all[B:]
+            s_gamma, t_gamma = g_all[:B], g_all[B:]
+            s_pi, t_pi = pi_all[:B], pi_all[B:]
+            s_nodes, t_nodes = n_all[:B], n_all[B:]
+            s_nfeats, t_nfeats = nf_all[:B], nf_all[B:]
+        else:
+            n_stages = 3 if cfg.recompute_anchors else 1
+            src_ids = [farthest_point_sample(src, km, is_center=False, key=ks[i])
+                       for i in range(n_stages)]
+            tgt_ids = [farthest_point_sample(tgt, km, is_center=False,
+                                             key=ks[3 + i])
+                       for i in range(n_stages)]
+            if not cfg.recompute_anchors:
+                src_ids = src_ids * 3
+                tgt_ids = tgt_ids * 3
+
+            # --- stage 0: features + position encoding --------------------
+            src_feats = dgcnn(src, train)                      # (B, N, D)
+            tgt_feats = dgcnn(tgt, train)
+            src_anchor0 = index_points(src_feats, src_ids[0])  # (B, km, D)
+            tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
+            src_t = src_feats + pos_enc(src, cfg.pos_k, train)
+            tgt_t = tgt_feats + pos_enc(tgt, cfg.pos_k, train)
+
+            # --- stage 1: anchor-conditioned self-attention ----------------
+            src_t = conv1(sattn1(src_t, src_anchor0) + src_t, train)
+            tgt_t = conv1(sattn1(tgt_t, tgt_anchor0) + tgt_t, train)
+
+            # --- stage 2: cross-attention via anchors ----------------------
+            src_anchor1 = index_points(src_t, src_ids[1])
+            tgt_anchor1 = index_points(tgt_t, tgt_ids[1])
+            src_f = cattn(src_t, tgt_anchor1) + src_t
+            tgt_f = cattn(tgt_t, src_anchor1) + tgt_t
+
+            # --- overlap head -----------------------------------------------
+            # (reference models/gmmreg.py:74-89; note the reference weights
+            # the *source* scores by src_o gathered along the target axis — a
+            # quirk that requires N == M and is preserved bit-for-bit here)
+            sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
+                             preferred_element_type=jnp.float32)  # (B, N, M)
+            src_o = proj(src_f, train)                         # (B, N, 1)
+            tgt_o = proj(tgt_f, train)
+            src_wo = jnp.einsum('bnm,bmd->bnd',
+                                jax.nn.softmax(sim, axis=-1), src_o)
+            tgt_wo = jnp.einsum('bnm,bnd->bmd',
+                                jax.nn.softmax(sim, axis=1), tgt_o)
+            src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1),
+                           train)
+            tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1),
+                           train)
+            # overlap scores feed clustering weights + the loss: fp32 out
+            src_o = nn.sigmoid(
+                overlap(src_fo, train).astype(jnp.float32)).reshape(B, N)
+            tgt_o = nn.sigmoid(
+                overlap(tgt_fo, train).astype(jnp.float32)).reshape(B, M)
+
+            # --- stage 3: second self-attention ----------------------------
+            src_anchor2 = index_points(src_f, src_ids[2])
+            tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
+            # back to fp32: everything downstream is geometry (clustering
+            # EM, cosine matching, Procrustes) + the contrastive loss
+            src_f = (sattn2(src_f, src_anchor2) + src_f).astype(jnp.float32)
+            tgt_f = (sattn2(tgt_f, tgt_anchor2) + tgt_f).astype(jnp.float32)
+
+            # --- overlap-guided clustering (models/gmmreg.py:100-101) ------
+            s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(
+                src, src_f, src_o, cfg.n_clusters, iters=cfg.em_iters,
+                tau=cfg.tau)
+            t_gamma, t_pi, t_nodes, t_nfeats = wkeans_plus(
+                tgt, tgt_f, tgt_o, cfg.n_clusters, iters=cfg.em_iters,
+                tau=cfg.tau)
 
         # --- soft GMM matching + Procrustes --------------------------------
         rot, trans, _, _ = gmm_svd(s_nodes, t_nodes, s_nfeats, t_nfeats,

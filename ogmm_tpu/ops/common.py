@@ -37,12 +37,24 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
 
 
 def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
-        normalize: bool = False) -> jnp.ndarray:
+        normalize: bool = False,
+        use_pallas: bool | None = None) -> jnp.ndarray:
     """Indices of the k nearest neighbours of each src point among tgt.
 
     (B, N, C) x (B, M, C) -> int32 (B, N, k), sorted by ascending distance.
     Reference: lib/utils.py:37-44.
+
+    On TPU the euclidean path runs as a tiled Pallas kernel that never
+    materialises the (B, N, M) distance matrix in HBM (ops/pallas_knn.py);
+    `use_pallas=None` auto-selects by backend.
     """
+    if use_pallas is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        # VMEM bound: the kernel holds a (tile, M) f32 distance block
+        use_pallas = (not normalize) and tgt.shape[1] <= 8192 and _auto()
+    if use_pallas and not normalize:
+        from ogmm_tpu.ops.pallas_knn import knn_pallas
+        return knn_pallas(src, tgt, k)
     dist = square_distance(src, tgt, normalize)
     _, idx = jax.lax.top_k(-dist, k)  # top_k is sorted descending => ascending distance
     return idx

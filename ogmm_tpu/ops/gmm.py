@@ -141,7 +141,10 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
     node_xyz0 = jax.lax.stop_gradient(node_xyz0)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        # VMEM bound: the kernel keeps the per-item (N, K) block resident
+        B, N, _ = xyz.shape
+        use_pallas = N * n_clusters * 4 <= 6 * 2 ** 20 and _auto()
     if use_pallas:
         from ogmm_tpu.ops.pallas_em import sinkhorn_em
         gamma, pi, node_xyz = sinkhorn_em(xyz_sg, o, node_xyz0,
@@ -160,10 +163,16 @@ def get_local_corrs(xyz: jnp.ndarray, xyz_mu: jnp.ndarray,
     """Features of the point nearest to each cluster mean.
 
     xyz (B,N,3), xyz_mu (B,J,3), feats (B,N,C) -> (B,J,C).
-    Reference: lib/utils.py:244-254.
+    Reference: lib/utils.py:244-254. On TPU the argmin runs as the fused
+    1-NN kernel (no (B, J, N) matrix in HBM).
     """
-    dis = square_distance(xyz_mu, xyz)           # (B, J, N); argmin == cdist argmin
-    idx = jnp.argmin(dis, axis=-1).astype(jnp.int32)  # (B, J)
+    from ogmm_tpu.ops.dispatch import use_pallas as _auto
+    if _auto() and xyz.shape[1] <= 8192:
+        from ogmm_tpu.ops.pallas_knn import nn1_pallas
+        idx = nn1_pallas(xyz_mu, xyz)[1]              # (B, J)
+    else:
+        dis = square_distance(xyz_mu, xyz)       # (B, J, N); argmin == cdist argmin
+        idx = jnp.argmin(dis, axis=-1).astype(jnp.int32)  # (B, J)
     return index_points(feats, idx)
 
 

@@ -22,12 +22,14 @@ from ogmm_tpu.core.procrustes import rigid_transform
 from ogmm_tpu.ops.common import square_distance
 
 
-@partial(jax.jit, static_argnames=("max_iter", "method"))
+@partial(jax.jit, static_argnames=("max_iter", "method", "use_pallas"))
 def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
                        init_pose: jnp.ndarray,
                        threshold: float,
                        max_iter: int = 30,
-                       method: str = "horn") -> tuple[jnp.ndarray, jnp.ndarray]:
+                       method: str = "horn",
+                       use_pallas: bool | None = None
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Refine an initial rigid transform by fixed-iteration point-to-point ICP.
 
     Args:
@@ -44,14 +46,23 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     thresh_sq = threshold * threshold
     rot0 = init_pose[..., :3, :3]
     t0 = init_pose[..., :3, 3]
+    if use_pallas is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        # VMEM bound: the 1-NN kernel holds a (tile, M) f32 block
+        use_pallas = tgt.shape[1] <= 8192 and _auto()
 
     def body(carry, _):
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
                            precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        d = square_distance(moved, tgt)                  # (B, N, M)
-        nn_d = jnp.min(d, axis=-1)
-        nn_i = jnp.argmin(d, axis=-1).astype(jnp.int32)  # (B, N)
+        if use_pallas:
+            # fused min/argmin — the (B, N, M) matrix never hits HBM
+            from ogmm_tpu.ops.pallas_knn import nn1_pallas
+            nn_d, nn_i = nn1_pallas(moved, tgt)
+        else:
+            d = square_distance(moved, tgt)              # (B, N, M)
+            nn_d = jnp.min(d, axis=-1)
+            nn_i = jnp.argmin(d, axis=-1).astype(jnp.int32)  # (B, N)
         corr = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)  # (B, N, 3)
         w = (nn_d < thresh_sq).astype(src.dtype)         # inlier gate
         # guard: if no inliers, keep previous transform via weight-all fallback

@@ -164,6 +164,13 @@ class Trainer:
         self.state = state
         self.mesh = mesh
         self.checkpointer = checkpointer
+        # pin Pallas dispatch to the platform we actually run on (a CPU mesh
+        # in a process that also has the TPU plugin registered must not
+        # trace TPU kernels)
+        from ogmm_tpu.ops.dispatch import set_pallas
+        platform = (mesh.devices.flat[0].platform if mesh is not None
+                    else jax.devices()[0].platform)
+        set_pallas(platform == "tpu")
         self.train_step = make_train_step(model, tx, cfg, mesh)
         self.eval_step = make_eval_step(model, cfg, mesh)
         self.batch_sharding = (

@@ -185,3 +185,21 @@ def test_gmmreg_bf16_matches_fp32(pair):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
     assert all(x.dtype == jnp.float32 for x in leaves)
+
+
+def test_gmmreg_eval_stacked_matches_per_cloud(pair):
+    """Siamese stacking at eval is a pure layout change: per-sample math is
+    identical, so outputs must match the per-cloud path (same zero-start FPS
+    anchors when no rng is supplied)."""
+    import dataclasses
+    src, tgt, _, _ = pair
+    m_stack = GMMReg(cfg=TINY)
+    v = m_stack.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    out_s = m_stack.apply(v, src, tgt, train=False)
+
+    m_flat = GMMReg(cfg=dataclasses.replace(TINY, stack_eval=False))
+    out_f = m_flat.apply(v, src, tgt, train=False)
+    names = ["rot", "trans", "src_o", "tgt_o", "clu"]
+    for name, a, b in zip(names, out_s, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
