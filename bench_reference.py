@@ -32,6 +32,10 @@ sys.path.insert(0, "/root/reference")
 
 import torch  # noqa: E402
 
+# fair baseline: give torch every core on this host (the image defaults the
+# interop setting to 1 thread)
+torch.set_num_threads(os.cpu_count() or 1)
+
 
 def main():
     from models.gmmreg import GMMReg  # reference code

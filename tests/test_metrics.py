@@ -71,3 +71,18 @@ def test_summarize_reductions():
     assert abs(s['err_t_rmse'] - np.sqrt(5.0)) < 1e-9
     assert abs(s['n_correct'] - 0.5) < 1e-9
     assert abs(s['chamfer_dist'] - 3.0) < 1e-9
+
+
+def test_print_metrics_formats(capsys):
+    from ogmm_tpu.core.metrics import print_metrics
+    summary = {'r_rmse': 1.0, 'r_mae': 0.5, 't_rmse': 0.1, 't_mae': 0.05,
+               'err_r_deg_mean': 1.2, 'err_r_deg_rmse': 1.5,
+               'err_t_mean': 0.07, 'err_t_rmse': 0.09,
+               'chamfer_dist': 0.001, 'pcab_dist': 0.002,
+               'clip_chamfer_dist': 0.0015, 'n_correct': 0.8}
+    print_metrics(summary, title='T')
+    out = capsys.readouterr().out
+    assert 'Rotation error' in out and 'Recall' in out
+    lines = []
+    print_metrics(summary, title='T', log=lines.append)
+    assert any('Clip Chamfer' in l for l in lines)

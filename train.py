@@ -141,7 +141,10 @@ def main(argv=None):
     trainer = Trainer(cfg, model, state, tx, mesh=mesh, checkpointer=ckpt,
                       profile_dir=args.profile_dir)
     if args.eval_only:
-        trainer.eval_epoch(0, test_loader)
+        from ogmm_tpu.core.metrics import print_metrics
+        summary = trainer.eval_epoch(0, test_loader)
+        print_metrics(summary, title=f"{cfg.model_name} eval",
+                      log=logger.info)
     else:
         trainer.fit(train_loader, test_loader, epochs=cfg.train.epochs)
     return trainer
