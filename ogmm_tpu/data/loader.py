@@ -118,6 +118,31 @@ class PrefetchLoader:
                     break
 
 
+class ListAsDict:
+    """Adapt list-contract datasets ([src, tgt, tsfm], the DeepGMR family:
+    ModelNetDV/GMR, IclNuim-style) to the dict contract the trainer consumes
+    (reference train_base.py unpacks positionally; train.py by key)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i):
+        item = self.dataset[i]
+        if isinstance(item, dict):
+            return item
+        src, tgt, tsfm = item[0], item[1], item[2]
+        return {
+            'src_xyz': src.astype(np.float32),
+            'tgt_xyz': tgt.astype(np.float32),
+            'src_overlap': np.ones(len(src), np.float32),
+            'tgt_overlap': np.ones(len(tgt), np.float32),
+            'transform_gt': np.asarray(tsfm, np.float32)[:3, :4],
+        }
+
+
 def data_loader(cfg):
     """Dataset factory — reference datasets/dataloader.py:25-62.
 
@@ -149,8 +174,10 @@ def data_loader(cfg):
                                partition='test')
         serialize_test = True
     elif name == "modelnetdv":
-        train_data = ModelNetDV(d.root, partition='train', unseen=d.unseen)
-        test_data = ModelNetDV(d.root, partition='test', unseen=d.unseen)
+        train_data = ListAsDict(
+            ModelNetDV(d.root, partition='train', unseen=d.unseen))
+        test_data = ListAsDict(
+            ModelNetDV(d.root, partition='test', unseen=d.unseen))
         serialize_test = True
     elif name == "7scene":
         train_data = Scene7(d.root, d.n_points, list(d.partial), 'train')

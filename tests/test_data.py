@@ -145,3 +145,37 @@ def test_mesh_off_broken_header(tmp_path):
     mesh = offread(str(p))
     assert mesh.vertex_array.shape == (3, 3)
     assert mesh.faces == [[0, 1, 2]]
+
+
+def test_modelnetdv_through_factory_and_deepgmr():
+    """ModelNetDV's list contract adapts to the trainer's dict contract
+    (reference train_base.py unpacks positionally); asymmetric 768/1536
+    clouds train through DeepGMR (no N==M constraint there)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from ogmm_tpu.configs import mnet
+    from ogmm_tpu.data import data_loader
+    from ogmm_tpu.train import create_train_state
+    from ogmm_tpu.train.trainer import BATCH_KEYS, make_train_step
+
+    cfg = mnet()
+    cfg = cfg.replace(
+        model_name="DeepGMR",
+        model=dataclasses.replace(cfg.model, emb_dims=32, n_clusters=8,
+                                  km_clusters=8, gnn_k=8, icp_iters=2),
+        data=dataclasses.replace(cfg.data, root="synthetic",
+                                 dataset="modelnetdv"),
+        train=dataclasses.replace(cfg.train, batch_size=2,
+                                  test_batch_size=2))
+    train_loader, test_loader = data_loader(cfg)
+    batch = next(iter(train_loader))
+    assert set(BATCH_KEYS) <= set(batch)
+    assert batch['src_xyz'].shape[1] != batch['tgt_xyz'].shape[1]  # 768/1536
+    assert batch['transform_gt'].shape[1:] == (3, 4)
+
+    model, state, tx = create_train_state(cfg, steps_per_epoch=4,
+                                          sample_batch=batch)
+    step = make_train_step(model, tx, cfg, mesh=None)
+    dev = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+    state, metrics = step(state, dev)
+    assert np.isfinite(float(np.asarray(metrics['loss'])[0]))
