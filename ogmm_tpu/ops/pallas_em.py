@@ -20,6 +20,13 @@ torch.no_grad, lib/utils.py:278-289), so the kernel needs no VJP.
 
 Matmuls use fp32 HIGHEST precision — they contract tiny D=3 axes where
 bf16 MXU passes would perturb distances enough to flip cluster assignments.
+
+Numerical note (measured on TPU v5e): one EM trip matches the jnp path to
+~5e-6; over 10 trips the two paths drift apart (argmax flips on ~0.2%+ of
+points by trip 4) because EM with eps=1e-2 produces near-hard assignments —
+any fp reassociation difference is chaotically amplified. Both paths are
+equally valid EM trajectories; interpret-mode tests pin exact parity per
+trip, and training/eval metrics are what must match, not per-point gammas.
 """
 from __future__ import annotations
 
@@ -34,7 +41,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
-               iters: int, sk_iters: int, tau: float, eps: float):
+               iters: int, sk_iters: int, tau: float, eps: float,
+               mxu_lse: bool):
     xyz = xyz_ref[0]                      # (N, 3) f32
     o = o_ref[0]                          # (N, 1)
     N = xyz.shape[0]
@@ -43,6 +51,7 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
     log_p = jnp.log(o + 1e-8)                               # (N, 1)
     log_q = jnp.log(1.0 / K + 1e-8)                         # scalar
     x_sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)       # (N, 1)
+    ones_row = jnp.ones((8, N), jnp.float32)                # MXU column-sum
 
     def em_body(_, carry):
         nodes, _, _ = carry
@@ -55,6 +64,12 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
         cost = jnp.sqrt(d2) / tau
 
         # ---- log-domain Sinkhorn, fixed trips (ops/sinkhorn.py) ---------
+        # mxu_lse: cost >= 0 and u,v track marginals <= 1, so the log-plan
+        # entries stay <= ~0 and exp never overflows — the column logsumexp
+        # can skip the max-stabiliser and reduce over the 717 sublanes with
+        # one ones-matmul on the MXU instead of a sublane reduction chain
+        # (the kernel's slow direction). A 1e-38 floor keeps fully-underflowed
+        # columns finite (v then recovers on the next trip).
         def sk_body(_, uv):
             u, v = uv                                       # (N,1), (1,K)
             lk = (-cost + u + v) / eps
@@ -62,8 +77,15 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
             lse = m + jnp.log(jnp.sum(jnp.exp(lk - m), axis=1, keepdims=True))
             u = eps * (log_p - lse) + u
             lk = (-cost + u + v) / eps
-            m = jnp.max(lk, axis=0, keepdims=True)
-            lse = m + jnp.log(jnp.sum(jnp.exp(lk - m), axis=0, keepdims=True))
+            if mxu_lse:
+                s = jax.lax.dot_general(
+                    ones_row, jnp.exp(lk), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (8, K)
+                lse = jnp.log(s[0:1] + 1e-38)
+            else:
+                m = jnp.max(lk, axis=0, keepdims=True)
+                lse = m + jnp.log(
+                    jnp.sum(jnp.exp(lk - m), axis=0, keepdims=True))
             v = eps * (log_q - lse) + v
             return u, v
 
@@ -94,17 +116,18 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "sk_iters", "tau",
-                                             "eps", "interpret"))
+                                             "eps", "mxu_lse", "interpret"))
 def sinkhorn_em(xyz: jnp.ndarray, o_norm: jnp.ndarray, nodes0: jnp.ndarray,
                 iters: int = 10, sk_iters: int = 10, tau: float = 1.0,
-                eps: float = 1e-2, interpret: bool = False):
+                eps: float = 1e-2, mxu_lse: bool = True,
+                interpret: bool = False):
     """Fused EM: (B,N,3) xyz, (B,N) normalised marginal, (B,K,3) init nodes
     -> (gamma (B,N,K), pi (B,K), nodes (B,K,3)). No gradient path (caller
     wraps in stop_gradient, mirroring reference torch.no_grad)."""
     B, N, _ = xyz.shape
     K = nodes0.shape[1]
     kern = functools.partial(_em_kernel, iters=iters, sk_iters=sk_iters,
-                             tau=float(tau), eps=float(eps))
+                             tau=float(tau), eps=float(eps), mxu_lse=mxu_lse)
 
     # Mosaic tiling rule: the last two dims of each block must be divisible
     # by (8, 128) or equal the full array dims — so every operand is rank-3
