@@ -1,0 +1,90 @@
+"""High-level inference API: register point-cloud pairs with one call.
+
+The reference exposes registration only through its training script's model
+object (models/gmmreg.py:50-119 with is_test=True appending ICP). This
+wrapper is the serving-side equivalent: build (or restore) a model once,
+then call it on (B, N, 3) numpy/jax arrays and get (R, t) back — jitted,
+bf16 body, Pallas kernels, batched ICP refinement.
+
+    reg = Registrar(cfg)                          # fresh params
+    reg = Registrar.from_checkpoint("checkpoints")  # trained weights
+    R, t, src_overlap, tgt_overlap = reg(src, tgt)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogmm_tpu.configs import Config, mnet
+
+
+class Registrar:
+    """Stateless-weights registration frontend for GMMReg/DeepGMR."""
+
+    def __init__(self, cfg: Optional[Config] = None, variables=None,
+                 seed: int = 0, example_n: int = 717):
+        from ogmm_tpu.train.state import build_model
+        self.cfg = cfg if cfg is not None else mnet()
+        self.model = build_model(self.cfg)
+        if variables is None:
+            rs = np.random.RandomState(seed)
+            dummy = jnp.asarray(rs.randn(1, example_n, 3), jnp.float32)
+            variables = self.model.init(
+                {'params': jax.random.PRNGKey(seed)}, dummy, dummy,
+                train=False)
+        self.variables = variables
+        self._fwd = jax.jit(
+            lambda v, s, t, refine: self.model.apply(
+                v, s, t, train=False, is_test=refine),
+            static_argnames=("refine",))
+
+    @classmethod
+    def from_checkpoint(cls, model_path: str, cfg: Optional[Config] = None,
+                        name: str = "optim_model") -> "Registrar":
+        """Restore the best checkpoint written by the trainer."""
+        from ogmm_tpu.train.checkpoint import CheckpointManager
+        from ogmm_tpu.train.state import create_train_state
+        cfg = cfg if cfg is not None else mnet()
+        B, N = 1, cfg.data.n_points
+        rs = np.random.RandomState(0)
+        sample = {'src_xyz': rs.randn(B, N, 3).astype(np.float32),
+                  'tgt_xyz': rs.randn(B, N, 3).astype(np.float32)}
+        model, state, _ = create_train_state(cfg, steps_per_epoch=1,
+                                             sample_batch=sample)
+        ckpt = CheckpointManager(model_path, cfg.model_name)
+        restored = ckpt.restore(state, name)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint {name!r} under {model_path}")
+        variables = {'params': restored.params,
+                     'batch_stats': restored.batch_stats}
+        return cls(cfg, variables=variables)
+
+    def __call__(self, src, tgt, refine: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Register src onto tgt.
+
+        src/tgt: (B, N, 3) arrays (numpy or jax). refine=True appends the
+        batched on-device ICP (reference models/gmmreg.py:115-117).
+        Returns (rot (B,3,3), trans (B,3), src_overlap (B,N), tgt_overlap (B,N));
+        for DeepGMR the overlap outputs are ones.
+        """
+        src = jnp.asarray(src, jnp.float32)
+        tgt = jnp.asarray(tgt, jnp.float32)
+        out = self._fwd(self.variables, src, tgt, refine)
+        if len(out) == 2:   # DeepGMR
+            rot, trans = out
+            ones = jnp.ones(src.shape[:2], jnp.float32)
+            return rot, trans, ones, jnp.ones(tgt.shape[:2], jnp.float32)
+        rot, trans, src_o, tgt_o, _ = out
+        return rot, trans, src_o, tgt_o
+
+    def transform(self, rot, trans, points):
+        """Apply the predicted rigid transform to (B, N, 3) points."""
+        from ogmm_tpu.core import se3
+        pose = jnp.concatenate([rot, trans[..., None]], axis=-1)
+        return se3.transform(pose, jnp.asarray(points, jnp.float32))

@@ -122,8 +122,23 @@ def welsch_loss(src, tgt, tsfm, src_o=None, tgt_o=None,
     else:
         src_corr, tgt_corr = src, tgt
     a2 = alpha * alpha
-    z1sq = jnp.min(square_distance(src_corr, tgt), axis=-1)   # |cdist|^2
-    z2sq = jnp.min(square_distance(tgt_corr, src), axis=-1)
+    from ogmm_tpu.ops.dispatch import use_pallas as _auto
+    if _auto() and max(src.shape[1], tgt.shape[1]) <= 8192:
+        # fused 1-NN for the index, distance recomputed differentiably: the
+        # value AND gradient equal min-over-matrix (the min picks the NN and
+        # grad-through-min flows into exactly that pair), without the
+        # (B, top_k, N) matrix or its backward pass
+        from ogmm_tpu.ops.pallas_knn import nn1_pallas
+        sg = jax.lax.stop_gradient
+        i1 = nn1_pallas(sg(src_corr), sg(tgt))[1]
+        z1sq = jnp.sum((src_corr - jnp.take_along_axis(
+            tgt, i1[..., None], axis=1)) ** 2, axis=-1)
+        i2 = nn1_pallas(sg(tgt_corr), sg(src))[1]
+        z2sq = jnp.sum((tgt_corr - jnp.take_along_axis(
+            src, i2[..., None], axis=1)) ** 2, axis=-1)
+    else:
+        z1sq = jnp.min(square_distance(src_corr, tgt), axis=-1)   # |cdist|^2
+        z2sq = jnp.min(square_distance(tgt_corr, src), axis=-1)
     loss = (2.0 - jnp.exp(-0.5 * z1sq / a2) - jnp.exp(-0.5 * z2sq / a2)).sum(axis=1)
     return loss.mean()
 
