@@ -46,12 +46,13 @@ def main():
     fwd = jax.jit(lambda s, t: model.apply(variables, s, t, train=False))
 
     out = fwd(src, tgt)
-    jax.block_until_ready(out)                      # compile + warmup
+    np.asarray(out[0])                              # compile + warmup + sync
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fwd(src, tgt)
-    jax.block_until_ready(out)
+    np.asarray(out[0])   # host fetch: a hard sync barrier (block_until_ready
+    #                      has been observed returning early over the tunnel)
     dt = (time.perf_counter() - t0) / reps
     pps = B / dt
 
