@@ -12,7 +12,6 @@ bf16 body, Pallas kernels, batched ICP refinement.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ogmm_tpu.core import se3
-from ogmm_tpu.ops.common import cdist, l2_normalize, square_distance
+from ogmm_tpu.ops.common import l2_normalize, square_distance
 from ogmm_tpu.ops.gmm import get_local_corrs, gmm_params
 from ogmm_tpu.ops.sinkhorn import contrastsk
 
