@@ -156,7 +156,8 @@ def data_loader(cfg):
     t = cfg.train
     name = d.dataset
     if name in ("modelnet", "synthetic"):
-        root = "synthetic" if name == "synthetic" else d.root
+        root = d.root if d.root.startswith("synthetic") else (
+            "synthetic" if name == "synthetic" else d.root)
         train_tf, test_tf = get_transforms(d.noise_type, d.rot_mag,
                                            d.trans_mag, d.n_points,
                                            list(d.partial))

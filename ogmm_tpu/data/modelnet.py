@@ -101,10 +101,11 @@ class SyntheticPointClouds:
 
 
 def _load_source(root: str, partition: str):
-    """h5 from disk, or synthetic fallback when root == 'synthetic'."""
-    if root == "synthetic":
+    """h5 from disk, or synthetic fallback when root == 'synthetic[:N]'."""
+    if root.startswith("synthetic"):
+        n_shapes = int(root.split(":")[1]) if ":" in root else 64
         seed = 0 if partition == "train" else 1
-        src = SyntheticPointClouds(n_shapes=64, seed=seed)
+        src = SyntheticPointClouds(n_shapes=n_shapes, seed=seed)
         return src.data, src.label
     return load_modelnet_h5(partition, root)
 

@@ -1,0 +1,67 @@
+"""Multi-host initialisation — the DCN side of the distributed story.
+
+The reference's entire distributed stack is single-process
+`nn.DataParallel` (train.py:190-191, SURVEY.md §2.10). Here data
+parallelism is a 1-D `jax.sharding.Mesh` whose gradient all-reduce XLA
+compiles over ICI within a slice; spanning multiple hosts/slices only
+requires `jax.distributed.initialize` before device queries — after which
+`jax.devices()` returns the global device set and the same mesh/pjit code
+shards across DCN automatically.
+
+Call once at program start (train.py --multihost), before any jax device
+use. On single-host runs it is a no-op.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger("ogmm_tpu")
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialise multi-host JAX if a multi-process environment is present.
+
+    Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or the
+    TPU pod metadata jax.distributed discovers on Cloud TPU. Returns True
+    if distributed mode was initialised.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    single_host = (coordinator_address is None and num_processes is None
+                   and process_id is None
+                   and "TPU_WORKER_HOSTNAMES" not in os.environ)
+    if single_host:
+        logger.info("single-host run; skipping jax.distributed.initialize")
+        return False
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    logger.info("jax.distributed initialised: process %d/%d, %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.devices()))
+    return True
+
+
+def shard_batch_for_process(batch, global_batch_size: int):
+    """Slice a host-side batch to this process's shard (per-host data
+    loading: each host feeds its own 1/process_count of the global batch)."""
+    import jax
+    n = jax.process_count()
+    if n == 1:
+        return batch
+    per = global_batch_size // n
+    lo = jax.process_index() * per
+    return {k: v[lo:lo + per] for k, v in batch.items()}

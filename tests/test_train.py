@@ -152,3 +152,15 @@ def test_deepgmr_train_step_descends():
     ev = make_eval_step(model, cfg, mesh=None)
     m = ev(state, dev_batch)
     assert np.all(np.isfinite(np.asarray(m['loss'])))
+
+
+def test_init_distributed_single_host_noop(monkeypatch):
+    from ogmm_tpu.train.distributed import (init_distributed,
+                                            shard_batch_for_process)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert init_distributed() is False
+    batch = {'x': np.arange(8)}
+    out = shard_batch_for_process(batch, 8)
+    np.testing.assert_array_equal(out['x'], batch['x'])  # 1 process: identity

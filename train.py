@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument('--eval_only', action='store_true')
     p.add_argument('--profile_dir', type=str, default=None,
                    help='capture a jax.profiler trace of epoch-0 steps 5-10')
+    p.add_argument('--multihost', action='store_true',
+                   help='initialise jax.distributed (multi-host DP over DCN)')
     return p.parse_args(argv)
 
 
@@ -103,6 +105,10 @@ class CappedLoader:
 def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
+
+    if args.multihost:
+        from ogmm_tpu.train.distributed import init_distributed
+        init_distributed()
 
     import jax
     from ogmm_tpu.data import data_loader
