@@ -39,8 +39,12 @@ class ModelConfig:
     dtype: str = "float32"
     # eval-mode siamese stacking: run src/tgt through the per-cloud stages
     # as one (2B, N, .) batch — identical math per sample, half the serial
-    # FPS/EM trips. Training always runs per-cloud (BN batch-stats parity).
+    # FPS/EM trips. Training defaults to per-cloud (reference BN batch-stats
+    # parity: the reference updates stats once per cloud); stack_train=True
+    # opts into stacked training, whose BN stats cover both clouds at once —
+    # a documented divergence (sync-BN-style, not reference-exact).
     stack_eval: bool = True
+    stack_train: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -117,7 +117,7 @@ class GMMReg(nn.Module):
         # and kernel dispatches, double the matmul heights. Training keeps
         # per-cloud calls — the reference updates BN batch statistics once
         # per cloud (models/gmmreg.py:52-53) and stacking would change them.
-        stacked = (not train) and cfg.stack_eval
+        stacked = (cfg.stack_eval and not train) or (cfg.stack_train and train)
 
         if stacked:
             both = jnp.concatenate([src, tgt], axis=0)          # (2B, N, 3)

@@ -164,3 +164,19 @@ def test_init_distributed_single_host_noop(monkeypatch):
     batch = {'x': np.arange(8)}
     out = shard_batch_for_process(batch, 8)
     np.testing.assert_array_equal(out['x'], batch['x'])  # 1 process: identity
+
+
+def test_stack_train_descends():
+    """Opt-in stacked training (documented BN divergence) still learns."""
+    cfg = tiny_cfg()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, stack_train=True))
+    batch = make_batch(seed=5)
+    model, state, tx = create_train_state(cfg, steps_per_epoch=10,
+                                          sample_batch=batch)
+    step = make_train_step(model, tx, cfg, mesh=None)
+    dev = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, dev)
+        losses.append(float(np.asarray(metrics['loss'])[0]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
