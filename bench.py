@@ -19,8 +19,8 @@ import time
 
 import numpy as np
 
-# frozen from bench_reference.py on this image (torch 2.13 CPU, 1 thread)
-FALLBACK_BASELINE_PPS = None  # set after first measurement
+# frozen from bench_reference.py on this image (torch 2.13 CPU, 1 core host)
+FALLBACK_BASELINE_PPS = 0.5379
 
 
 def main():
