@@ -63,7 +63,9 @@ def sinkhorn(cost: jnp.ndarray,
 def contrastsk(x, y, p=None, epsilon=1e-3, max_iter=30, dst='eu'):
     """Sinkhorn correspondence between two point/feature sets.
 
-    Reference: lib/utils.py:233-241.
+    Reference: lib/utils.py:233-241 — note the reference forwards its `p`
+    into sinkhorn's *column* marginal slot (`sinkhorn(cost, None, p, ...)`,
+    lib/utils.py:240): p weights the y/cluster axis, rows stay uniform.
     """
     from ogmm_tpu.ops.common import square_distance, l2_normalize
     if dst == 'eu':
@@ -72,4 +74,4 @@ def contrastsk(x, y, p=None, epsilon=1e-3, max_iter=30, dst='eu'):
         xn = l2_normalize(x)
         yn = l2_normalize(y)
         cost = 2.0 - 2.0 * jnp.einsum('bnd,bmd->bnm', xn, yn)
-    return sinkhorn(cost, p=p, q=None, epsilon=epsilon, max_iter=max_iter)
+    return sinkhorn(cost, p=None, q=p, epsilon=epsilon, max_iter=max_iter)

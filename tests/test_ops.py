@@ -161,3 +161,36 @@ def test_get_anchor_corrs(rng):
     assert mu.shape == (2, 8, 3) and ids.shape == (2, 8)
     # anchors are actual points => anchor feats == gathered feats
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fp), atol=1e-6)
+
+
+def test_wkeans_separates_blobs(rng):
+    """Sinkhorn k-means (euclidean mode) recovers two well-separated blobs
+    (reference lib/utils.py:201-219)."""
+    from ogmm_tpu.ops.gmm import wkeans
+    import jax.numpy as jnp
+    a = rng.randn(1, 32, 3).astype(np.float32) * 0.1 + 5.0
+    b = rng.randn(1, 32, 3).astype(np.float32) * 0.1 - 5.0
+    x = jnp.asarray(np.concatenate([a, b], axis=1))
+    gamma, pi, centroids = wkeans(x, 2, dst='eu', iters=10)
+    assert gamma.shape == (1, 64, 2) and centroids.shape == (1, 2, 3)
+    c = np.sort(np.asarray(centroids)[0, :, 0])
+    assert c[0] < -4.0 and c[1] > 4.0          # one centroid per blob
+    # points assign to their own blob's centroid
+    am = np.asarray(gamma.argmax(-1))[0]
+    assert len(np.unique(am[:32])) == 1 and len(np.unique(am[32:])) == 1
+    assert am[0] != am[-1]
+
+
+def test_km_loss_finite_and_grad(rng):
+    """KMLoss parity op (reference lib/loss.py:60-80, off the main path)."""
+    import jax
+    import jax.numpy as jnp
+    from ogmm_tpu.losses import km_loss
+    pts = jnp.asarray(rng.randn(2, 48, 3).astype(np.float32))
+    log_gamma = jnp.asarray(rng.randn(2, 48, 8).astype(np.float32))
+    prob = jnp.asarray(rng.rand(2, 48).astype(np.float32))
+    loss = km_loss(pts, log_gamma, prob, top_k=16)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda lg: km_loss(pts, lg, prob, top_k=16))(log_gamma)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
