@@ -1,0 +1,204 @@
+"""Numerical parity of ops/losses/metrics/DGCNN vs the torch reference.
+
+These tests run the reference's own torch (CPU) code as an oracle on
+identical inputs — and for DGCNN, identical COPIED weights — and require the
+jnp/flax implementations to match within fp32 tolerance. This discharges
+SURVEY.md §7 hard-part 1 ("parity must be argued numerically, not
+structurally") for the core math.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+for name in ("open3d",):
+    sys.modules.setdefault(name, types.ModuleType(name))
+t3d = types.ModuleType("transforms3d")
+t3d_q = types.ModuleType("transforms3d.quaternions")
+t3d_q.mat2quat = lambda m: np.array([1.0, 0, 0, 0])
+t3d_q.quat2mat = lambda q: np.eye(3)
+t3d.quaternions = t3d_q
+sys.modules.setdefault("transforms3d", t3d)
+sys.modules.setdefault("transforms3d.quaternions", t3d_q)
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+for mod in [m for m in list(sys.modules) if m.split(".")[0] == "datasets"]:
+    del sys.modules[mod]
+
+torch = pytest.importorskip("torch")
+ref_utils = pytest.importorskip("lib.utils")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def test_sinkhorn_matches_reference(rng):
+    from ogmm_tpu.ops.sinkhorn import sinkhorn
+    cost = rng.rand(2, 40, 16).astype(np.float32)
+    p = rng.rand(2, 40).astype(np.float32)
+    p = p / p.sum(-1, keepdims=True)
+    # thresh=0.0 disables the reference's early exit -> same fixed trips
+    g_ref, l_ref = ref_utils.sinkhorn(_t(cost), p=_t(p), q=None,
+                                      epsilon=1e-2, thresh=0.0, max_iter=10)
+    g_our, l_our = sinkhorn(jnp.asarray(cost), p=jnp.asarray(p), q=None,
+                            epsilon=1e-2, max_iter=10)
+    np.testing.assert_allclose(np.asarray(g_our), g_ref.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(l_our), float(l_ref), rtol=1e-4)
+
+
+def test_procrustes_matches_reference_svd(rng):
+    """Our Horn quaternion solve vs the reference's CPU SVD + det fix —
+    both find the global weighted-Procrustes optimum."""
+    from lib.se3 import compute_rigid_transformation
+    from ogmm_tpu.core.procrustes import rigid_transform
+    from scipy.spatial.transform import Rotation
+    B, N = 4, 50
+    src = rng.randn(B, N, 3).astype(np.float32)
+    R = Rotation.from_euler('zyx', rng.uniform(-60, 60, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = rng.randn(B, 3).astype(np.float32)
+    corr = np.einsum('bij,bnj->bni', R, src) + t[:, None]
+    corr += 0.01 * rng.randn(B, N, 3).astype(np.float32)      # noisy match
+    w = rng.rand(B, N).astype(np.float32)
+
+    R_ref, t_ref = compute_rigid_transformation(
+        _t(src.transpose(0, 2, 1)), _t(corr.transpose(0, 2, 1)),
+        _t(w[:, None, :]))
+    R_our, t_our = rigid_transform(jnp.asarray(src), jnp.asarray(corr),
+                                   jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R_our), R_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_our).reshape(B, 3),
+                               t_ref.numpy().reshape(B, 3),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_wkeans_plus_matches_reference(rng):
+    from ogmm_tpu.ops.gmm import wkeans_plus
+    B, N, C, K = 2, 64, 8, 8
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    feats = rng.randn(B, N, C).astype(np.float32)
+    o = rng.rand(B, N).astype(np.float32)
+
+    # reference runs its torch loop with thresh early-exit inside sinkhorn;
+    # patch thresh to 0 by calling sinkhorn via the same args the loop uses
+    # is impossible non-invasively, so compare at iters where the exit does
+    # not trigger yet and with tolerance at full depth
+    g_ref, pi_ref, nx_ref, nf_ref = ref_utils.wkeans_plus(
+        _t(xyz), _t(feats), _t(o), K, iters=2, tau=1.0)
+    g_our, pi_our, nx_our, nf_our = wkeans_plus(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(o), K,
+        iters=2, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(nx_our), nx_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pi_our), pi_ref.numpy(),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nf_our), nf_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_con_loss_matches_reference(rng):
+    from lib.loss import ConLoss
+    from ogmm_tpu.losses import con_loss
+    x = rng.randn(2, 12, 16).astype(np.float32)
+    y = (x + 0.1 * rng.randn(2, 12, 16)).astype(np.float32)
+    ref = ConLoss(tau=0.1)(_t(x), _t(y))
+    ours = con_loss(jnp.asarray(x), jnp.asarray(y), tau=0.1)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_dcp_loss_matches_reference(rng):
+    from lib.loss import dcp_loss as ref_dcp
+    from ogmm_tpu.losses import dcp_loss
+    from scipy.spatial.transform import Rotation
+    B = 4
+    Rp = Rotation.random(B, random_state=0).as_matrix().astype(np.float32)
+    Rg = Rotation.random(B, random_state=1).as_matrix().astype(np.float32)
+    tp = rng.randn(B, 3).astype(np.float32)
+    tg = rng.randn(B, 3).astype(np.float32)
+    ref = ref_dcp(_t(Rp), _t(Rg), _t(tp), _t(tg))
+    ours = dcp_loss(jnp.asarray(Rp), jnp.asarray(Rg), jnp.asarray(tp),
+                    jnp.asarray(tg))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_welsch_loss_matches_reference(rng):
+    from lib.loss import WelschLoss
+    from ogmm_tpu.losses import welsch_loss
+    B, N = 2, 64
+    src = rng.randn(B, N, 3).astype(np.float32)
+    tgt = rng.randn(B, N, 3).astype(np.float32)
+    tsfm = np.broadcast_to(np.eye(3, 4, dtype=np.float32), (B, 3, 4)).copy()
+    so = rng.rand(B, N).astype(np.float32)
+    to = rng.rand(B, N).astype(np.float32)
+    ref = WelschLoss(alpha=10.0, top_k=32)(_t(src), _t(tgt), _t(tsfm),
+                                           _t(so), _t(to))
+    ours = welsch_loss(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(tsfm),
+                       jnp.asarray(so), jnp.asarray(to), alpha=10.0, top_k=32)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_dcp_metrics_match_reference(rng, monkeypatch):
+    from lib import metric as ref_metric
+    from ogmm_tpu.core.metrics import dcp_metrics
+    from scipy.spatial.transform import Rotation
+    # the reference hard-codes .cuda() for the clip value (lib/metric.py:227)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    B, N = 4, 80
+    src = rng.randn(B, N, 3).astype(np.float32)
+    Rg = Rotation.random(B, random_state=2).as_matrix().astype(np.float32)
+    tg = 0.3 * rng.randn(B, 3).astype(np.float32)
+    tgt = np.einsum('bij,bnj->bni', Rg, src) + tg[:, None]
+    Rp = Rotation.random(B, random_state=3).as_matrix().astype(np.float32)
+    tp = 0.3 * rng.randn(B, 3).astype(np.float32)
+
+    ref = ref_metric.dcp_metrics(_t(src), _t(tgt), _t(Rg), _t(tg),
+                                 _t(Rp), _t(tp))
+    ours = dcp_metrics(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(Rg),
+                       jnp.asarray(tg), jnp.asarray(Rp), jnp.asarray(tp))
+    for key in ('r_mse', 'r_mae', 't_mse', 't_mae', 'err_r_deg', 'err_t',
+                'chamfer_dist', 'pcab_dist', 'clip_chamfer_dist',
+                'n_correct'):
+        ref_key = {'err_r_deg': 'err_r_deg', 'err_t': 'err_t',
+                   'pcab_dist': 'pcab_dist'}.get(key, key)
+        a = np.asarray(ref[ref_key] if not torch.is_tensor(ref[ref_key])
+                       else ref[ref_key].numpy(), np.float32)
+        b = np.asarray(ours[key], np.float32)
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4,
+                                   err_msg=f"metric {key}")
+
+
+def test_dgcnn_matches_reference_with_copied_weights(rng):
+    """Same conv weights + fresh BN stats -> eval outputs must match the
+    torch reference encoder (validates kNN graph, edge features, stage
+    order, BN semantics end-to-end)."""
+    from models.dgcnn import DGCNN as RefDGCNN
+    from ogmm_tpu.nn.dgcnn import DGCNN
+
+    emb, k, B, N = 32, 8, 2, 64
+    torch.manual_seed(0)
+    ref = RefDGCNN(emb_dims=emb, k=k).eval()
+
+    x = rng.randn(B, N, 3).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(_t(x).transpose(-1, -2)).numpy().transpose(0, 2, 1)
+
+    model = DGCNN(emb_dims=emb, k=k, fused=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    params = dict(variables['params'])
+    for i, conv in enumerate([ref.conv1, ref.conv2, ref.conv3, ref.conv4,
+                              ref.conv5]):
+        w = conv.weight.detach().numpy()[:, :, 0, 0].T   # (in, out)
+        params[f'w{i+1}'] = jnp.asarray(w)
+    out_our = model.apply({'params': params,
+                           'batch_stats': variables['batch_stats']},
+                          jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_our), out_ref,
+                               rtol=1e-3, atol=1e-4)
