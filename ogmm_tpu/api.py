@@ -87,3 +87,16 @@ class Registrar:
         from ogmm_tpu.core import se3
         pose = jnp.concatenate([rot, trans[..., None]], axis=-1)
         return se3.transform(pose, jnp.asarray(points, jnp.float32))
+
+
+def registrar_from_torch_checkpoint(path: str, cfg=None) -> "Registrar":
+    """Serve a REFERENCE-trained torch checkpoint on TPU.
+
+    Converts the reference GMMReg state_dict (lib/metric.py:293-297 save
+    format) via ogmm_tpu.compat and wraps it in a Registrar.
+    """
+    from ogmm_tpu.compat import load_torch_checkpoint
+    cfg = cfg if cfg is not None else mnet()
+    variables = load_torch_checkpoint(path, num_heads=cfg.model.num_heads,
+                                      emb_dims=cfg.model.emb_dims)
+    return Registrar(cfg, variables=variables)

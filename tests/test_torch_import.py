@@ -1,0 +1,129 @@
+"""Full-model parity: reference torch GMMReg vs ours with IMPORTED weights.
+
+The strongest cross-implementation check: a randomly-initialised reference
+GMMReg's state_dict is converted by ogmm_tpu.compat and the two models run
+the same inputs. Overlap scores (everything up to clustering) must match
+tightly; the final transform is compared with a looser tolerance because the
+reference's Sinkhorn keeps its data-dependent early exit inside the EM loop
+(ours is fixed-trip — the documented numerical-parity tradeoff,
+SURVEY.md hard-part 1).
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+for name in ("open3d",):
+    sys.modules.setdefault(name, types.ModuleType(name))
+t3d = types.ModuleType("transforms3d")
+t3d_q = types.ModuleType("transforms3d.quaternions")
+t3d_q.mat2quat = lambda m: np.array([1.0, 0, 0, 0])
+t3d_q.quat2mat = lambda q: np.eye(3)
+t3d.quaternions = t3d_q
+sys.modules.setdefault("transforms3d", t3d)
+sys.modules.setdefault("transforms3d.quaternions", t3d_q)
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+for mod in [m for m in list(sys.modules) if m.split(".")[0] == "datasets"]:
+    del sys.modules[mod]
+
+torch = pytest.importorskip("torch")
+
+import dataclasses  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ogmm_tpu.compat import convert_gmmreg_state_dict, numpy_state_dict  # noqa: E402
+from ogmm_tpu.configs import ModelConfig  # noqa: E402
+from ogmm_tpu.nn import GMMReg  # noqa: E402
+
+
+class _Args:
+    gnn_k = 8
+    km_clusters = 8
+    num_heads = 2
+    overlap_radius = 0.035
+
+
+@pytest.fixture(scope="module")
+def both_models():
+    from models.gmmreg import GMMReg as RefGMMReg
+    torch.manual_seed(0)
+    emb, K = 32, 8
+    ref = RefGMMReg(emb, K, _Args()).eval()
+
+    cfg = ModelConfig(emb_dims=emb, n_clusters=K, km_clusters=K, num_heads=2,
+                      gnn_k=8, pos_k=5, em_iters=10, sinkhorn_iters=10)
+    ours = GMMReg(cfg=cfg)
+    params, stats = convert_gmmreg_state_dict(numpy_state_dict(ref.state_dict()),
+                                              num_heads=2, emb_dims=emb)
+    to_jnp = lambda t: {k: (to_jnp(v) if isinstance(v, dict) else jnp.asarray(v))
+                        for k, v in t.items()}
+    variables = {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+    return ref, ours, variables
+
+
+def test_imported_tree_matches_init_structure(both_models):
+    _, ours, variables = both_models
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 48, 3), jnp.float32)
+    init_v = ours.init({"params": jax.random.PRNGKey(0)}, x, x, train=False)
+
+    def paths(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(paths(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = tuple(v.shape)
+        return out
+
+    got = paths(variables["params"])
+    want = paths(init_v["params"])
+    assert got == want, (
+        f"missing: {sorted(set(want) - set(got))[:5]} "
+        f"extra: {sorted(set(got) - set(want))[:5]}")
+    assert paths(variables["batch_stats"]) == paths(init_v["batch_stats"])
+
+
+def test_full_forward_matches_reference(both_models, monkeypatch):
+    ref, ours, variables = both_models
+    # the reference's anchor FPS uses unseeded torch.randint starts
+    # (lib/utils.py:190); pin to 0 to match our rng-less eval behaviour
+    real_randint = torch.randint
+
+    def zero_randint(low, high, size, **kw):
+        kw.setdefault("dtype", torch.long)
+        return torch.zeros(size, dtype=kw["dtype"])
+
+    monkeypatch.setattr(torch, "randint", zero_randint)
+
+    rs = np.random.RandomState(3)
+    src = rs.randn(2, 48, 3).astype(np.float32) * 0.5
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler("zyx", rs.uniform(-30, 30, (2, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.2 * rs.randn(2, 3).astype(np.float32)
+    tgt = (np.einsum("bij,bnj->bni", R, src) + t[:, None]).astype(np.float32)
+
+    with torch.no_grad():
+        rot_r, tr_r, so_r, to_r, clu_r = ref(
+            torch.from_numpy(src.transpose(0, 2, 1)),
+            torch.from_numpy(tgt.transpose(0, 2, 1)))
+    monkeypatch.setattr(torch, "randint", real_randint)
+
+    rot_o, tr_o, so_o, to_o, clu_o = ours.apply(
+        variables, jnp.asarray(src), jnp.asarray(tgt), train=False)
+
+    # overlap head: everything upstream of clustering — tight tolerance
+    np.testing.assert_allclose(np.asarray(so_o), so_r.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(to_o), to_r.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    # transform after EM clustering: the reference early-exits its inner
+    # Sinkhorn, ours is fixed-trip — compare geometry with loose tolerance
+    np.testing.assert_allclose(np.asarray(rot_o), rot_r.numpy(), atol=0.05)
+    np.testing.assert_allclose(np.asarray(tr_o).ravel(),
+                               tr_r.numpy().ravel(), atol=0.05)
