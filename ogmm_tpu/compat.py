@@ -156,3 +156,27 @@ def load_torch_checkpoint(path: str, num_heads: int = 4,
     to_jnp = lambda tree: {k: (to_jnp(v) if isinstance(v, dict)
                                else jnp.asarray(v)) for k, v in tree.items()}
     return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+
+def convert_deepgmr_state_dict(sd: Mapping[str, np.ndarray]
+                               ) -> Tuple[Dict, Dict]:
+    """Reference DeepGMR state_dict (baseline/deepgmr.py:56-61:
+    backbone DGCNN + `cluster` CONV head) -> (params, batch_stats)."""
+    params: Dict = {}
+    stats: Dict = {}
+    dg_p: Dict = {}
+    dg_s: Dict = {}
+    for i in range(1, 6):
+        w = np.asarray(sd[f"backbone.conv{i}.weight"], np.float32)
+        dg_p[f"w{i}"] = w[:, :, 0, 0].T if w.ndim == 4 else w[:, :, 0].T
+        bp, bs = _bn(sd, f"backbone.bn{i}")
+        dg_p[f"bn{i}_scale"] = bp["scale"]
+        dg_p[f"bn{i}_bias"] = bp["bias"]
+        dg_s[f"bn{i}_mean"] = bs["mean"]
+        dg_s[f"bn{i}_var"] = bs["var"]
+    params["DGCNN_0"] = dg_p
+    stats["DGCNN_0"] = dg_s
+    p, s = _conv_head(sd, "cluster", deep=True)
+    params["ConvHead_0"] = p
+    stats["ConvHead_0"] = s
+    return params, stats

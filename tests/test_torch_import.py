@@ -127,3 +127,36 @@ def test_full_forward_matches_reference(both_models, monkeypatch):
     np.testing.assert_allclose(np.asarray(rot_o), rot_r.numpy(), atol=0.05)
     np.testing.assert_allclose(np.asarray(tr_o).ravel(),
                                tr_r.numpy().ravel(), atol=0.05)
+
+
+def test_deepgmr_import_matches_reference(monkeypatch):
+    from baseline.deepgmr import DeepGMR as RefDeepGMR
+    # the reference hard-codes .cuda() after its CPU SVD (baseline/deepgmr.py:30-31)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    from ogmm_tpu.compat import convert_deepgmr_state_dict
+    from ogmm_tpu.nn import DeepGMR
+
+    torch.manual_seed(1)
+    emb, K = 32, 8
+    ref = RefDeepGMR(emb, K, _Args()).eval()
+
+    cfg = ModelConfig(emb_dims=emb, n_clusters=K, km_clusters=K, num_heads=2,
+                      gnn_k=8)
+    ours = DeepGMR(cfg=cfg)    # quirk_translation_row=True matches reference
+    params, stats = convert_deepgmr_state_dict(
+        numpy_state_dict(ref.state_dict()))
+    to_jnp = lambda t: {k: (to_jnp(v) if isinstance(v, dict)
+                            else jnp.asarray(v)) for k, v in t.items()}
+    variables = {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+    rs = np.random.RandomState(5)
+    src = rs.randn(2, 48, 3).astype(np.float32)
+    tgt = rs.randn(2, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        rot_r, tr_r = ref(torch.from_numpy(src.transpose(0, 2, 1)),
+                          torch.from_numpy(tgt.transpose(0, 2, 1)))
+    rot_o, tr_o = ours.apply(variables, jnp.asarray(src), jnp.asarray(tgt),
+                             train=False)
+    np.testing.assert_allclose(np.asarray(rot_o), rot_r.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tr_o), tr_r.numpy(), atol=1e-4)
