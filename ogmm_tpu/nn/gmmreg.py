@@ -122,10 +122,18 @@ class GMMReg(nn.Module):
         if stacked:
             both = jnp.concatenate([src, tgt], axis=0)          # (2B, N, 3)
             n_stages = 3 if cfg.recompute_anchors else 1
-            ids = [farthest_point_sample(both, km, is_center=False, key=ks[i])
-                   for i in range(n_stages)]
-            if not cfg.recompute_anchors:
-                ids = ids * 3
+            center_ids = None
+            if not cfg.recompute_anchors and km == cfg.n_clusters:
+                # anchors + clustering init share one 128-step FPS loop
+                from ogmm_tpu.ops.fps import fps_combined
+                anchor_ids, center_ids = fps_combined(both, km, key=ks[0])
+                ids = [anchor_ids] * 3
+            else:
+                ids = [farthest_point_sample(both, km, is_center=False,
+                                             key=ks[i])
+                       for i in range(n_stages)]
+                if not cfg.recompute_anchors:
+                    ids = ids * 3
 
             feats = dgcnn(both, train)                          # (2B, N, D)
             anchor0 = index_points(feats, ids[0])
@@ -156,7 +164,7 @@ class GMMReg(nn.Module):
 
             g_all, pi_all, n_all, nf_all = wkeans_plus(
                 both, f_all, o_all, cfg.n_clusters, iters=cfg.em_iters,
-                tau=cfg.tau)
+                tau=cfg.tau, init_ids=center_ids)
             src_f, tgt_f = f_all[:B], f_all[B:]
             src_o, tgt_o = o_all[:B], o_all[B:]
             s_gamma, t_gamma = g_all[:B], g_all[B:]

@@ -60,6 +60,13 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     else:
         farthest = jnp.zeros((B,), dtype=jnp.int32)
 
+    return _fps_loop(xyz, npoint, distance, farthest)
+
+
+def _fps_loop(xyz: jnp.ndarray, npoint: int, distance: jnp.ndarray,
+              farthest: jnp.ndarray) -> jnp.ndarray:
+    """Shared FPS recurrence from an explicit (distance, start) state."""
+    B = xyz.shape[0]
     centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
 
     def body(i, carry):
@@ -73,3 +80,33 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
 
     centroids, _, _ = jax.lax.fori_loop(0, npoint, body, (centroids0, distance, farthest))
     return centroids
+
+
+def fps_combined(xyz: jnp.ndarray, npoint: int,
+                 key: jax.Array | None = None):
+    """Anchor FPS and centre-seeded FPS over the same clouds in ONE loop.
+
+    The GMMReg forward needs two independent FPS passes per cloud: random/
+    zero-start anchors (lib/utils.py:190) and the centre-seeded clustering
+    init (lib/utils.py:183-188). The 128-step chain's cost is per-op issue
+    overhead, not arithmetic, so running both as one 2B-row loop costs the
+    same as one pass. Returns (anchor_ids (B,npoint), center_ids (B,npoint)).
+    """
+    B, N, _ = xyz.shape
+    big = jnp.concatenate([xyz, xyz], axis=0)               # (2B, N, 3)
+
+    dist_anchor = jnp.full((B, N), 1e10, dtype=xyz.dtype)
+    if key is not None:
+        start_anchor = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        start_anchor = jnp.zeros((B,), dtype=jnp.int32)
+
+    centroid = xyz.mean(axis=1, keepdims=True)
+    dist_center = jnp.minimum(((xyz - centroid) ** 2).sum(-1),
+                              jnp.full((B, N), 1e10, dtype=xyz.dtype))
+    start_center = jnp.argmax(dist_center, axis=-1).astype(jnp.int32)
+
+    ids = _fps_loop(big, npoint,
+                    jnp.concatenate([dist_anchor, dist_center], axis=0),
+                    jnp.concatenate([start_anchor, start_center], axis=0))
+    return ids[:B], ids[B:]

@@ -118,7 +118,8 @@ def _em_jnp(xyz_sg, o, node_xyz0, iters, tau):
 
 def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
                 n_clusters: int, iters: int = 10, tau: float = 1.0,
-                use_pallas: bool | None = None):
+                use_pallas: bool | None = None,
+                init_ids: jnp.ndarray | None = None):
     """Overlap-weighted Sinkhorn-EM clustering (the OGMM core).
 
     E-step: Sinkhorn on cdist(xyz, nodes)/tau with row marginal p = normalised
@@ -131,9 +132,13 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
     `use_pallas=None` selects it automatically by backend. The jnp path is
     the portable fallback and the numerical reference.
 
+    `init_ids` overrides the centre-seeded FPS initialisation (callers that
+    already ran a combined FPS pass, ops/fps.py:fps_combined).
+
     Returns (gamma (B,N,K), pi (B,K), node_xyz (B,K,3), node_feats (B,K,C)).
     """
-    ids = farthest_point_sample(xyz, n_clusters, is_center=True)
+    ids = (init_ids if init_ids is not None
+           else farthest_point_sample(xyz, n_clusters, is_center=True))
     node_xyz0 = index_points(xyz, ids)
     o = jax.lax.stop_gradient(o_scores)
     o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)

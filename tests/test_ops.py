@@ -194,3 +194,15 @@ def test_km_loss_finite_and_grad(rng):
     g = jax.grad(lambda lg: km_loss(pts, lg, prob, top_k=16))(log_gamma)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_fps_combined_matches_separate(rng):
+    """One merged 2B-row FPS loop must reproduce both separate passes."""
+    import jax.numpy as jnp
+    from ogmm_tpu.ops.fps import farthest_point_sample, fps_combined
+    xyz = jnp.asarray(rng.randn(3, 90, 3).astype(np.float32))
+    a, c = fps_combined(xyz, 16, key=None)
+    a_ref = farthest_point_sample(xyz, 16, is_center=False, use_pallas=False)
+    c_ref = farthest_point_sample(xyz, 16, is_center=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
