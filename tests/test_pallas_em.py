@@ -70,3 +70,17 @@ def test_wkeans_plus_pallas_flag_parity(rng):
     for name, a, b in zip(names, out_jnp, out_pl):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pallas_override_context():
+    import jax
+    from ogmm_tpu.ops.dispatch import pallas_override, set_pallas, use_pallas
+    set_pallas(None)
+    base = use_pallas()          # auto (cpu test platform -> False)
+    assert base is False
+    with pallas_override(True):
+        assert use_pallas() is True
+        with pallas_override(False):
+            assert use_pallas() is False
+        assert use_pallas() is True
+    assert use_pallas() is base

@@ -160,3 +160,22 @@ def test_deepgmr_import_matches_reference(monkeypatch):
     np.testing.assert_allclose(np.asarray(rot_o), rot_r.numpy(),
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tr_o), tr_r.numpy(), atol=1e-4)
+
+
+def test_load_torch_checkpoint_file_roundtrip(tmp_path, both_models):
+    """The .pt file entry point (ogmm_tpu.compat.load_torch_checkpoint)."""
+    ref, ours, variables = both_models
+    path = tmp_path / "optim_model.pt"
+    torch.save(ref.state_dict(), str(path))
+    from ogmm_tpu.compat import load_torch_checkpoint
+    loaded = load_torch_checkpoint(str(path), num_heads=2, emb_dims=32)
+
+    def leaves(tree):
+        out = []
+        for k in sorted(tree):
+            v = tree[k]
+            out.extend(leaves(v) if isinstance(v, dict) else [np.asarray(v)])
+        return out
+
+    for a, b in zip(leaves(loaded["params"]), leaves(variables["params"])):
+        np.testing.assert_array_equal(a, b)
