@@ -66,6 +66,54 @@ def _horn_quaternion(cov: jnp.ndarray) -> jnp.ndarray:
     return r
 
 
+def _horn_quaternion_pi(cov: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """Horn solve via shifted power iteration instead of eigh.
+
+    K's largest eigenvector is the optimal quaternion; shifting by a
+    Gershgorin bound makes it the dominant eigenvalue of (K + sigma*I), so
+    `iters` batched 4x4 matvecs converge to it — ~2 orders of magnitude
+    fewer ops than the iterative eigh lowering when this runs inside the
+    ICP scan (30 Procrustes solves per refinement)."""
+    sxx, sxy, sxz = cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2]
+    syx, syy, syz = cov[..., 1, 0], cov[..., 1, 1], cov[..., 1, 2]
+    szx, szy, szz = cov[..., 2, 0], cov[..., 2, 1], cov[..., 2, 2]
+    k00 = sxx + syy + szz
+    k01 = syz - szy
+    k02 = szx - sxz
+    k03 = sxy - syx
+    k11 = sxx - syy - szz
+    k12 = sxy + syx
+    k13 = szx + sxz
+    k22 = -sxx + syy - szz
+    k23 = syz + szy
+    k33 = -sxx - syy + szz
+    row0 = jnp.stack([k00, k01, k02, k03], axis=-1)
+    row1 = jnp.stack([k01, k11, k12, k13], axis=-1)
+    row2 = jnp.stack([k02, k12, k22, k23], axis=-1)
+    row3 = jnp.stack([k03, k13, k23, k33], axis=-1)
+    K = jnp.stack([row0, row1, row2, row3], axis=-2)          # (..., 4, 4)
+    sigma = jnp.sum(jnp.abs(K), axis=-1).max(axis=-1)         # Gershgorin
+    Ks = K + (sigma[..., None, None] + 1e-6) * jnp.eye(4, dtype=K.dtype)
+
+    q0 = jnp.broadcast_to(
+        jnp.asarray([1.0, 1e-3, 2e-3, 3e-3], K.dtype), K.shape[:-1])
+
+    def body(_, q):
+        q = jnp.einsum('...ij,...j->...i', Ks, q,
+                       precision=jax.lax.Precision.HIGHEST)
+        return q / jnp.maximum(
+            jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    q = jax.lax.fori_loop(0, iters, body, q0)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack([
+        w * w + x * x - y * y - z * z, 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), w * w - x * x + y * y - z * z, 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), w * w - x * x - y * y + z * z,
+    ], axis=-1).reshape(*q.shape[:-1], 3, 3)
+    return r
+
+
 def _svd_rotation(cov: jnp.ndarray) -> jnp.ndarray:
     """Rotation from SVD of cov with det-sign reflection fix.
 
@@ -113,6 +161,8 @@ def rigid_transform(src: jnp.ndarray, src_corr: jnp.ndarray,
     cov = jnp.where(finite, cov, 0.0) + 1e-5 * eye
     if method == "horn":
         rot = _horn_quaternion(cov)
+    elif method == "horn_pi":
+        rot = _horn_quaternion_pi(cov)
     elif method == "svd":
         rot = _svd_rotation(cov)
     else:

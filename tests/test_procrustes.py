@@ -84,3 +84,28 @@ def test_gradients_finite(rng):
 
     g = jax.grad(loss)(jnp.asarray(corr))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_horn_power_iteration_matches_eigh(rng):
+    """The shifted power-iteration Horn solve agrees with the eigh solve."""
+    import jax.numpy as jnp
+    from ogmm_tpu.core.procrustes import rigid_transform
+    from scipy.spatial.transform import Rotation
+    B, N = 6, 80
+    src = rng.randn(B, N, 3).astype(np.float32)
+    R = Rotation.random(B, random_state=4).as_matrix().astype(np.float32)
+    t = rng.randn(B, 3).astype(np.float32)
+    corr = np.einsum('bij,bnj->bni', R, src) + t[:, None]
+    corr += 0.02 * rng.randn(B, N, 3).astype(np.float32)
+    w = rng.rand(B, N).astype(np.float32)
+    r1, t1 = rigid_transform(jnp.asarray(src), jnp.asarray(corr),
+                             jnp.asarray(w), method="horn")
+    r2, t2 = rigid_transform(jnp.asarray(src), jnp.asarray(corr),
+                             jnp.asarray(w), method="horn_pi")
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                               rtol=1e-3, atol=1e-4)
+    # proper rotations
+    det = np.linalg.det(np.asarray(r2))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
