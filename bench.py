@@ -37,22 +37,35 @@ def main():
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, dtype="bfloat16"))
     B, N = 24, 717
     rs = np.random.RandomState(0)
-    src = jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3)
-    tgt = jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3)
+
+    # Timing protocol (CLAUDE.md): the tunnel can dedup repeated identical
+    # dispatches, so pre-stage several DISTINCT (src, tgt) buffer sets and
+    # cycle them across reps; pipeline the loop; final host fetch of every
+    # set's last output is the sync barrier (block_until_ready has been
+    # observed returning early over the tunnel).
+    n_sets = 4
+    inputs = [
+        (jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3),
+         jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3))
+        for _ in range(n_sets)
+    ]
+    src, tgt = inputs[0]
 
     model = GMMReg(cfg=cfg.model)
     variables = model.init({'params': jax.random.PRNGKey(0)}, src, tgt,
                            train=False)
     fwd = jax.jit(lambda s, t: model.apply(variables, s, t, train=False))
 
-    out = fwd(src, tgt)
-    np.asarray(out[0])                              # compile + warmup + sync
+    for s, t in inputs:
+        np.asarray(fwd(s, t)[0])                    # compile + warmup + sync
     reps = 20
+    outs = [None] * n_sets
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(src, tgt)
-    np.asarray(out[0])   # host fetch: a hard sync barrier (block_until_ready
-    #                      has been observed returning early over the tunnel)
+    for i in range(reps):
+        s, t = inputs[i % n_sets]
+        outs[i % n_sets] = fwd(s, t)
+    for o in outs:                                  # hard sync barrier
+        np.asarray(o[0])
     dt = (time.perf_counter() - t0) / reps
     pps = B / dt
 

@@ -55,6 +55,33 @@ def to_tsfm(rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
     return tsfm
 
 
+def identity() -> np.ndarray:
+    """(3, 4) identity pose (reference datautils.py:421-422)."""
+    return np.eye(3, 4)
+
+
+def inverse(rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Inverse SE(3) from (rot ([B,] 3, 3), trans ([B,] 3)) as a ([B,] 3, 4)
+    matrix [Rᵀ | -Rᵀt] (reference datautils.py:443-460)."""
+    irot = np.swapaxes(rot, -1, -2)
+    return np.concatenate([irot, irot @ -trans[..., None]], axis=-1)
+
+
+def from_xyzquat(xyzquat: np.ndarray) -> np.ndarray:
+    """SE3 4x4 from [x, y, z, qx, qy, qz, qw] (reference datautils.py:463-477).
+
+    Preserves the reference's convention: the stored translation is the
+    ROTATED negative offset (t = R @ -xyz), i.e. the 7-vector describes the
+    inverse-style camera pose used by the trajectory files.
+    """
+    from scipy.spatial.transform import Rotation
+    xyzquat = np.asarray(xyzquat, dtype=np.float64)
+    rot = Rotation.from_quat(xyzquat[3:])
+    trans = rot.apply(-xyzquat[:3])
+    tsfm = np.concatenate([rot.as_matrix(), trans[:, None]], axis=1)
+    return np.concatenate([tsfm, [[0.0, 0.0, 0.0, 1.0]]], axis=0)
+
+
 def np_mat2quat(pose: np.ndarray) -> np.ndarray:
     """(3/4, 4) -> 7-vector [qw,qx,qy,qz,tx,ty,tz] (reference lib/se3.py:224-229)."""
     from scipy.spatial.transform import Rotation
@@ -180,6 +207,80 @@ def nearest_neighbor(src: np.ndarray, dst: np.ndarray):
     return distances, indices
 
 
+def get_inner_labels(src: np.ndarray, tgt: np.ndarray, transf: np.ndarray,
+                     thresh: float = 0.05, label_type: int = 3):
+    """GT correspondence permutation matrix + per-point inlier flags.
+
+    Reference: datasets/datautils.py:42-90. Three label regimes:
+      1 — mutual-NN pairs within thresh only;
+      2 — all NN pairs within thresh, filled from both sides;
+      3 — mutual pairs, then greedy one-to-one fill of still-unmatched
+          rows/cols (fill ORDER matters: an earlier row claiming a column
+          blocks later rows — preserved here with incremental row/col
+          occupancy flags instead of re-summing the matrix), then a second
+          mutual-NN pass among leftover outliers at 2x thresh.
+
+    Returns (perm_mat (N, M), inlier_src (N, 1), inlier_tgt (M, 1)).
+    """
+    n, m = src.shape[0], tgt.shape[0]
+    perm = np.zeros((n, m))
+    src_t = transform(transf, src[:, :3])
+    tgt_p = tgt[:, :3]
+    d_se, i_se = nearest_neighbor(src_t, tgt_p)     # src -> tgt
+    d_te, i_te = nearest_neighbor(tgt_p, src_t)     # tgt -> src
+    mutual = (i_te[i_se] == np.arange(n)) & (d_se < thresh)
+
+    if label_type == 1:
+        perm[np.flatnonzero(mutual), i_se[mutual]] = 1
+    elif label_type == 2:
+        row_ok = d_se < thresh
+        perm[np.flatnonzero(row_ok), i_se[row_ok]] = 1
+        col_ok = d_te < thresh
+        perm[i_te[col_ok], np.flatnonzero(col_ok)] = 1
+    elif label_type == 3:
+        perm[np.flatnonzero(mutual), i_se[mutual]] = 1
+        row_used = perm.sum(axis=1) > 0
+        col_used = perm.sum(axis=0) > 0
+        for r in np.flatnonzero(~row_used & (d_se < thresh)):
+            c = i_se[r]
+            if not col_used[c]:
+                perm[r, c] = 1
+                row_used[r] = col_used[c] = True
+        for c in np.flatnonzero(~col_used & (d_te < thresh)):
+            r = i_te[c]
+            if not row_used[r]:
+                perm[r, c] = 1
+                row_used[r] = col_used[c] = True
+        out_r = np.flatnonzero(~row_used)
+        out_c = np.flatnonzero(~col_used)
+        if out_r.size and out_c.size:
+            d_se2, i_se2 = nearest_neighbor(src_t[out_r], tgt_p[out_c])
+            _, i_te2 = nearest_neighbor(tgt_p[out_c], src_t[out_r])
+            mut2 = (i_te2[i_se2] == np.arange(out_r.size)) & (d_se2 < 2 * thresh)
+            perm[out_r[mut2], out_c[i_se2[mut2]]] = 1
+    else:
+        raise ValueError(f"label_type must be 1/2/3, got {label_type}")
+
+    inlier_src = (perm.sum(axis=1, keepdims=True) > 0).astype(np.float64)
+    inlier_tgt = (perm.sum(axis=0, keepdims=True).T > 0).astype(np.float64)
+    return perm, inlier_src, inlier_tgt
+
+
+def mutual_selection(score_mat: np.ndarray) -> np.ndarray:
+    """Boolean mask of entries that are the argmax of BOTH their row and
+    their column (reference datasets/datautils.py:316-340, minus the
+    torch->numpy hop — this pipeline is numpy-native)."""
+    score_mat = np.asarray(score_mat)
+    if score_mat.ndim == 2:
+        # the reference keeps the added batch dim on 2-D input — match it
+        score_mat = score_mat[None]
+    rows = np.zeros_like(score_mat, dtype=bool)
+    cols = np.zeros_like(score_mat, dtype=bool)
+    np.put_along_axis(rows, score_mat.argmax(axis=2)[..., None], True, axis=2)
+    np.put_along_axis(cols, score_mat.argmax(axis=1)[:, None, :], True, axis=1)
+    return rows & cols
+
+
 # --------------------------------------------------------------------------
 # RRI rotation-invariant features (reference datautils.py:162-189)
 # --------------------------------------------------------------------------
@@ -234,6 +335,52 @@ def load_modelnet_h5(partition: str, root: str):
 def read_txt(path: str):
     with open(path) as f:
         return [x.strip() for x in f.readlines()]
+
+
+# --------------------------------------------------------------------------
+# File-listing helpers (reference datautils.py:352-394)
+# --------------------------------------------------------------------------
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, mode=0o755, exist_ok=True)
+
+
+def sorted_alphanum(file_list):
+    """Sort treating digit runs numerically: frame-2 < frame-10."""
+    import re
+
+    def alphanum_key(key):
+        return [int(c) if c.isdigit() else c
+                for c in re.split(r'([0-9]+)', key)]
+
+    return sorted(file_list, key=alphanum_key)
+
+
+def get_file_list(path: str, extension: str | None = None):
+    names = [f for f in os.listdir(path)
+             if os.path.isfile(os.path.join(path, f))]
+    if extension is not None:
+        names = [f for f in names if os.path.splitext(f)[1] == extension]
+    return sorted_alphanum([os.path.join(path, f) for f in names])
+
+
+def get_file_list_specific(path: str, color_depth: str,
+                           extension: str | None = None):
+    """Files whose name contains `color_depth` with the given extension.
+    Reference quirk kept: with extension=None the list is returned
+    UNSORTED and unfiltered (datautils.py:377-386)."""
+    names = [f for f in os.listdir(path)
+             if os.path.isfile(os.path.join(path, f))]
+    if extension is None:
+        return [os.path.join(path, f) for f in names]
+    names = [f for f in names
+             if color_depth in f and os.path.splitext(f)[1] == extension]
+    return sorted_alphanum([os.path.join(path, f) for f in names])
+
+
+def get_folder_list(path: str):
+    return sorted_alphanum([os.path.join(path, f) for f in os.listdir(path)
+                            if os.path.isdir(os.path.join(path, f))])
 
 
 def read_trajectory(filename: str, dim: int = 4):

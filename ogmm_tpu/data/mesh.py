@@ -19,6 +19,15 @@ class Mesh:
         return Mesh(self.vertex_array.copy(), list(self.faces))
 
 
+class Mesh2Points:
+    """Transform: Mesh -> float32 (N, 3) vertex array (reference
+    datasets/mesh.py:97-104; returns numpy, not torch — this pipeline is
+    numpy-native)."""
+
+    def __call__(self, mesh: Mesh) -> np.ndarray:
+        return mesh.clone().vertex_array.astype(np.float32)
+
+
 def offread(path: str) -> Mesh:
     """OFF reader with the ModelNet broken-header tolerance: some ModelNet
     files glue the counts onto the 'OFF' line (reference datasets/mesh.py:146-156)."""

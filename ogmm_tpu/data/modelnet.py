@@ -159,9 +159,14 @@ class ModelNetCP:
     def __init__(self, root: str, n_points: int, rot_mag: float = 45.0,
                  trans_mag: float = 0.5, unseen: bool = True,
                  partial: List[float] = (0.7,), noise_type: str = 'crop',
-                 partition: str = 'train'):
+                 partition: str = 'train', category: int | None = None):
         data, label = _load_source(root, partition)
         label = label.squeeze()
+        if category is not None:
+            # single-category filter (reference modelnet.py:175-177), applied
+            # before the unseen split like the reference
+            data = data[label == category]
+            label = label[label == category]
         keep = (label >= 20) if (unseen and partition == 'test') else (label < 20)
         self.data = data[keep]
         self.label = label[keep]

@@ -102,6 +102,12 @@ class GMMReg(nn.Module):
         overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
 
         # --- FPS anchors (reference get_anchor_corrs, random-start FPS) ----
+        # Documented divergence (PARITY.md "eval anchor start"): the reference
+        # seeds anchor FPS at an UNSEEDED random point even at eval
+        # (lib/utils.py:190 torch.randint); here, when no 'anchors' rng is
+        # supplied (eval/serving), FPS deterministically starts at index 0 —
+        # same anchor *coverage* property, reproducible outputs. Pass an
+        # 'anchors' rng at apply() time to restore randomized starts.
         if self.has_rng('anchors'):
             kroot = self.make_rng('anchors')
             ks = list(jax.random.split(kroot, 6))

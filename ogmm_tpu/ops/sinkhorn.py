@@ -5,7 +5,9 @@ early exit (mean |du|+|dv| < thresh, lib/utils.py:99-102). Under jit that
 control flow cannot exist; we run a *fixed* number of iterations instead.
 For the cost matrices this model produces (N,M <= 1024, epsilon 1e-2..1e-3)
 the fixed count matches the early-exited reference within fp32 tolerance —
-parity is argued numerically in tests/test_sinkhorn.py, not structurally.
+parity is argued numerically (tests/test_ops.py::test_sinkhorn_* and the
+reference-oracle check in tests/test_reference_parity_ops.py), not
+structurally.
 
 A fixed-trip scan also lets XLA fully fuse the logsumexp updates into two
 passes over the (B, N, M) cost block per iteration, which is the TPU-optimal
