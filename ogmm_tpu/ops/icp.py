@@ -81,13 +81,122 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     return rot, t
 
 
+def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
+    """Batched exp map so(3) -> SO(3), small-angle safe. omega: (B, 3)."""
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)      # (B, 1)
+    safe = jnp.maximum(theta, 1e-12)
+    k = omega / safe
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack([
+        jnp.stack([zero, -kz, ky], -1),
+        jnp.stack([kz, zero, -kx], -1),
+        jnp.stack([-ky, kx, zero], -1),
+    ], -2)                                                      # (B, 3, 3)
+    s = jnp.sin(theta)[..., None]
+    c = jnp.cos(theta)[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    R = eye + s * K + (1.0 - c) * jnp.matmul(K, K)
+    # below the small-angle floor the first-order map is exact to fp32
+    return jnp.where(theta[..., None] > 1e-8, R, eye + K * theta[..., None])
+
+
+@partial(jax.jit, static_argnames=("k",))
+def estimate_normals_knn(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """Per-point unit normals: smallest-eigenvector PCA of the k-NN
+    neighbourhood, on device (the reference runs Open3D's C++ estimator on
+    the host, lib/o3dutils.py:178-181). Sign is arbitrary — point-to-plane
+    residuals are sign-invariant under the normal equations."""
+    d = square_distance(points, points)                         # (B, N, N)
+    _, idx = jax.lax.top_k(-d, k)                               # (B, N, k)
+    nbrs = jnp.take_along_axis(points[:, None], idx[..., None], axis=2)
+    centered = nbrs - nbrs.mean(axis=2, keepdims=True)          # (B, N, k, 3)
+    cov = jnp.einsum('bnkc,bnkd->bncd', centered, centered,
+                     precision=jax.lax.Precision.HIGHEST)
+    _, vecs = jnp.linalg.eigh(cov)                              # ascending
+    return vecs[..., 0]                                         # (B, N, 3)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "normal_k", "use_pallas"))
+def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
+                       init_pose: jnp.ndarray,
+                       threshold: float,
+                       max_iter: int = 30,
+                       tgt_normals: jnp.ndarray | None = None,
+                       normal_k: int = 16,
+                       use_pallas: bool | None = None
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Point-to-plane ICP (reference lib/o3dutils.py:176-185, the pl=True
+    branch of refine_registration) — batched Gauss-Newton, fully on device.
+
+    Each iteration linearizes the plane residual n·(R s + t − q) in a small
+    twist [ω; δt], accumulates the 6×6 normal equations over gated inlier
+    correspondences (one einsum — MXU friendly), solves, and applies the
+    exact Rodrigues update. Normals come from `tgt_normals` or an on-device
+    k-NN PCA estimate.
+
+    Returns: (rot (B,3,3), trans (B,3)).
+    """
+    thresh_sq = threshold * threshold
+    rot0 = init_pose[..., :3, :3]
+    t0 = init_pose[..., :3, 3]
+    if tgt_normals is None:
+        tgt_normals = estimate_normals_knn(tgt, k=normal_k)
+    if use_pallas is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        use_pallas = tgt.shape[1] <= 8192 and _auto()
+
+    def body(carry, _):
+        rot, t = carry
+        moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
+                           precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
+        if use_pallas:
+            from ogmm_tpu.ops.pallas_knn import nn1_pallas
+            nn_d, nn_i = nn1_pallas(moved, tgt)
+        else:
+            d = square_distance(moved, tgt)
+            nn_d = jnp.min(d, axis=-1)
+            nn_i = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        q = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)       # (B,N,3)
+        n = jnp.take_along_axis(tgt_normals, nn_i[..., None], axis=1)
+        w = (nn_d < thresh_sq).astype(src.dtype)
+        any_in = w.sum(axis=-1) > 0
+        w = jnp.where(any_in[:, None], w, jnp.ones_like(w))
+
+        # rows A = [moved × n, n] (B, N, 6); residual b = -n·(moved - q)
+        a = jnp.concatenate([jnp.cross(moved, n), n], axis=-1)
+        b = -jnp.einsum('bnc,bnc->bn', n, moved - q,
+                        precision=jax.lax.Precision.HIGHEST)
+        aw = a * w[..., None]
+        H = jnp.einsum('bni,bnj->bij', aw, a,
+                       precision=jax.lax.Precision.HIGHEST)         # (B,6,6)
+        g = jnp.einsum('bni,bn->bi', aw, b,
+                       precision=jax.lax.Precision.HIGHEST)         # (B,6)
+        H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+        x = jnp.linalg.solve(H, g[..., None])[..., 0]               # (B,6)
+        dR = _rodrigues(x[:, :3])
+        rot_new = jnp.matmul(dR, rot, precision=jax.lax.Precision.HIGHEST)
+        t_new = jnp.einsum('bij,bj->bi', dR, t,
+                           precision=jax.lax.Precision.HIGHEST) + x[:, 3:]
+        rot = jnp.where(any_in[:, None, None], rot_new, rot)
+        t = jnp.where(any_in[:, None], t_new, t)
+        return (rot, t), None
+
+    (rot, t), _ = jax.lax.scan(body, (rot0, t0), None, length=max_iter)
+    return rot, t
+
+
 def refine_registration(src, tgt, rot, trans, voxel_size: float,
-                        max_iter: int = 30):
-    """Drop-in equivalent of reference `reg_solver` (lib/o3dutils.py:192-214).
+                        max_iter: int = 30, pl: bool = False):
+    """Drop-in equivalent of reference `reg_solver` (lib/o3dutils.py:192-214),
+    incl. the point-to-plane option (`pl=True`, lib/o3dutils.py:176-185).
 
     src/tgt: (B, N, 3); rot (B,3,3); trans (B,3) or (B,3,1).
     Returns refined (rot (B,3,3), trans (B,3)).
     """
     init = se3.integrate(rot, trans.reshape(rot.shape[0], 3, 1))
+    if pl:
+        return icp_point_to_plane(src, tgt, init, threshold=2.0 * voxel_size,
+                                  max_iter=max_iter)
     return icp_point_to_point(src, tgt, init, threshold=2.0 * voxel_size,
                               max_iter=max_iter)

@@ -55,13 +55,49 @@ def init_distributed(coordinator_address: Optional[str] = None,
     return True
 
 
-def shard_batch_for_process(batch, global_batch_size: int):
+def shard_batch_for_process(batch, global_batch_size: int,
+                            process_count: Optional[int] = None,
+                            process_index: Optional[int] = None):
     """Slice a host-side batch to this process's shard (per-host data
-    loading: each host feeds its own 1/process_count of the global batch)."""
+    loading: each host feeds its own 1/process_count of the global batch).
+
+    process_count/process_index default to the live jax values; they are
+    explicit parameters so the slicing is unit-testable without a real
+    multi-process run (tests/test_train.py simulates 2/4 processes).
+    """
     import jax
-    n = jax.process_count()
+    n = jax.process_count() if process_count is None else process_count
     if n == 1:
         return batch
+    idx = jax.process_index() if process_index is None else process_index
     per = global_batch_size // n
-    lo = jax.process_index() * per
+    lo = idx * per
     return {k: v[lo:lo + per] for k, v in batch.items()}
+
+
+def assemble_global_batch(batch, sharding,
+                          process_count: Optional[int] = None,
+                          process_index: Optional[int] = None):
+    """Host batch -> globally-sharded device arrays, multi-host aware.
+
+    Single process: a plain device_put onto the mesh sharding. Multi-host
+    (jax.process_count() > 1): each process contributes only its own
+    1/process_count row-slice of the global batch and the global array is
+    assembled from process-local shards — the jax-native replacement for
+    the reference's DataParallel scatter (train.py:190-191). The loaders
+    stay deterministic across hosts (same seed -> same global batch), so
+    slicing by process index partitions the batch exactly once.
+    """
+    import jax
+    n = jax.process_count() if process_count is None else process_count
+    if n == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    global_b = next(iter(batch.values())).shape[0]
+    local = shard_batch_for_process(batch, global_b, process_count=n,
+                                    process_index=process_index)
+    import numpy as np
+    return {
+        k: jax.make_array_from_process_local_data(
+            sharding, np.asarray(v), (global_b,) + tuple(v.shape[1:]))
+        for k, v in local.items()
+    }

@@ -148,7 +148,11 @@ def _device_batch(batch: Dict[str, np.ndarray], sharding=None):
     sub = {k: batch[k] for k in BATCH_KEYS}
     if sharding is None:
         return {k: jnp.asarray(v) for k, v in sub.items()}
-    return {k: jax.device_put(v, sharding) for k, v in sub.items()}
+    # multi-host aware: under jax.process_count() > 1 each host contributes
+    # its own row-slice and the global array is assembled from local shards
+    # (SURVEY.md §2.10 DP row; single-process reduces to a device_put)
+    from ogmm_tpu.train.distributed import assemble_global_batch
+    return assemble_global_batch(sub, sharding)
 
 
 class Trainer:

@@ -55,3 +55,100 @@ def test_refine_registration_wrapper(rng):
                                  voxel_size=0.035)
     assert Ri.shape == (2, 3, 3) and Ti.shape == (2, 3)
     assert np.all(np.isfinite(np.asarray(Ri)))
+
+
+_AXES = np.array([1.0, 0.75, 0.55])     # ellipsoid semi-axes (no symmetry)
+
+
+def _smooth_partial_pair(rs, B=3, N=400, jitter=0.002):
+    """Partial-overlap pairs sampled from a smooth ANISOTROPIC surface (an
+    ellipsoid — a sphere is rotation-degenerate for point-to-plane): src and
+    tgt keep different half-spaces with an overlapping band; tgt is a
+    transformed resample + jitter. Returns the tgt surface normals too."""
+    from scipy.spatial.transform import Rotation
+    src_list, tgt_list, rots, ts, norms = [], [], [], [], []
+    for b in range(B):
+        pts = rs.randn(4 * N, 3)
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * _AXES
+        src = pts[pts[:, 0] < 0.35][:N]
+        tgt0 = pts[pts[:, 0] > -0.35][-N:]
+        # analytic ellipsoid normal before transform: n ∝ p / axes²
+        n0 = tgt0 / (_AXES ** 2)
+        n0 /= np.linalg.norm(n0, axis=1, keepdims=True)
+        rot = Rotation.from_rotvec(rs.uniform(-0.3, 0.3, 3)).as_matrix()
+        t = rs.uniform(-0.2, 0.2, 3)
+        tgt = tgt0 @ rot.T + t + rs.randn(N, 3) * jitter
+        src_list.append(src); tgt_list.append(tgt)
+        rots.append(rot); ts.append(t); norms.append(n0 @ rot.T)
+    return (np.stack(src_list).astype(np.float32),
+            np.stack(tgt_list).astype(np.float32),
+            np.stack(rots).astype(np.float32),
+            np.stack(ts).astype(np.float32),
+            np.stack(norms).astype(np.float32))
+
+
+def _rre(R_pred, R_gt):
+    trace = np.einsum('bii->b', np.asarray(R_pred).transpose(0, 2, 1) @ R_gt)
+    return np.degrees(np.arccos(np.clip((trace - 1) / 2, -1, 1)))
+
+
+def test_icp_point_to_plane_refines_at_least_as_well(rng):
+    """VERDICT r1 #8: on smooth partial-overlap pairs, the point-to-plane
+    option (reference lib/o3dutils.py:176-185) refines at least as well as
+    point-to-point from the same perturbed init."""
+    from scipy.spatial.transform import Rotation
+    from ogmm_tpu.ops import icp_point_to_plane
+    src, tgt, rot, t, _ = _smooth_partial_pair(rng)
+    B = src.shape[0]
+    drot = Rotation.from_rotvec(
+        rng.uniform(-0.06, 0.06, (B, 3))).as_matrix().astype(np.float32)
+    init = se3.integrate(
+        jnp.asarray(drot @ rot),
+        jnp.asarray(t + rng.uniform(-0.03, 0.03, (B, 3)).astype(np.float32)))
+    rre0 = _rre(np.asarray(init)[:, :3, :3], rot)
+
+    Rp, Tp = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                                threshold=0.08, max_iter=30)
+    Rl, Tl = icp_point_to_plane(jnp.asarray(src), jnp.asarray(tgt), init,
+                                threshold=0.08, max_iter=30)
+    rre_p, rre_l = _rre(Rp, rot), _rre(Rl, rot)
+    rte_l = np.linalg.norm(np.asarray(Tl) - t, axis=-1)
+    assert np.all(np.isfinite(np.asarray(Rl)))
+    assert np.all(rre_l < rre0), (rre_l, rre0)          # improves the init
+    assert rre_l.mean() <= rre_p.mean() + 0.05, (rre_l, rre_p)
+    assert np.all(rte_l < 0.05), rte_l
+
+
+def test_icp_point_to_plane_precomputed_normals(rng):
+    """Supplying exact analytic surface normals must converge tightly."""
+    from scipy.spatial.transform import Rotation
+    from ogmm_tpu.ops import icp_point_to_plane
+    src, tgt, rot, t, n_exact = _smooth_partial_pair(rng, jitter=0.0)
+    B = src.shape[0]
+    drot = Rotation.from_rotvec(
+        rng.uniform(-0.05, 0.05, (B, 3))).as_matrix().astype(np.float32)
+    init = se3.integrate(jnp.asarray(drot @ rot), jnp.asarray(t))
+    R1, _ = icp_point_to_plane(jnp.asarray(src), jnp.asarray(tgt), init,
+                               threshold=0.08, max_iter=20,
+                               tgt_normals=jnp.asarray(n_exact))
+    assert np.all(_rre(R1, rot) < 0.5), _rre(R1, rot)
+
+
+def test_icp_point_to_plane_no_inliers_keeps_init(rng):
+    from ogmm_tpu.ops import icp_point_to_plane
+    src, tgt, rot, t = _setup(rng, B=2, N=64)
+    init = se3.identity_pose((2,))
+    Ri, Ti = icp_point_to_plane(jnp.asarray(src), jnp.asarray(tgt), init,
+                                threshold=0.0, max_iter=5)
+    np.testing.assert_allclose(np.asarray(Ri), np.tile(np.eye(3), (2, 1, 1)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ti), 0.0, atol=1e-6)
+
+
+def test_refine_registration_pl_flag(rng):
+    src, tgt, rot, t, _ = _smooth_partial_pair(rng, B=2)
+    Rl, Tl = refine_registration(jnp.asarray(src), jnp.asarray(tgt),
+                                 jnp.asarray(rot), jnp.asarray(t),
+                                 voxel_size=0.04, pl=True)
+    assert Rl.shape == (2, 3, 3) and Tl.shape == (2, 3)
+    assert np.all(_rre(Rl, rot) < 1.0)
