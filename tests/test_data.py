@@ -147,6 +147,24 @@ def test_mesh_off_broken_header(tmp_path):
     assert mesh.faces == [[0, 1, 2]]
 
 
+def test_mesh_obj_and_meshread_dispatch(tmp_path):
+    """OBJ reader (reference datasets/mesh.py:159-186): v/f lines, 1-based
+    indices, v/vt/vn face tokens; meshread dispatches on extension."""
+    from ogmm_tpu.data.mesh import meshread, objread
+    p = tmp_path / "tri.obj"
+    p.write_text("# comment\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+                 "vn 0 0 1\nf 1/1/1 2/2/1 3/3/1\nf 2 3 4\n")
+    mesh = objread(str(p))
+    np.testing.assert_allclose(
+        mesh.vertex_array, [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    assert mesh.faces == [[0, 1, 2], [1, 2, 3]]
+    mesh2 = meshread(str(p))
+    np.testing.assert_allclose(mesh2.vertex_array, mesh.vertex_array)
+    import pytest
+    with pytest.raises(ValueError):
+        meshread(str(tmp_path / "x.stl"))
+
+
 def test_modelnetdv_through_factory_and_deepgmr():
     """ModelNetDV's list contract adapts to the trainer's dict contract
     (reference train_base.py unpacks positionally); asymmetric 768/1536

@@ -82,6 +82,10 @@ def protocol_batches():
     _, test_chain = get_transforms('crop', rot_mag=45.0, trans_mag=0.5,
                                    num_points=1024,
                                    partial_p_keep=[0.7, 0.7])
+    # the initial 2048->1024 permutation draws from the GLOBAL numpy RNG
+    # (reference modelnet.py:324 draws before SetDeterministic seeds the
+    # chain) — pin it so the batches don't depend on test-suite order
+    np.random.seed(20260816)
     ds = ModelNetHdf('synthetic:8', unseen=False, transform=test_chain,
                      partition='test')
     items = [ds[i] for i in range(2 * B)]
