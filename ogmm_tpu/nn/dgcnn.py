@@ -42,6 +42,10 @@ class DGCNN(nn.Module):
     dtype: str | None = None    # compute dtype for the conv stack; the kNN
                                 # graph is built on fp32 xyz either way
     fused: bool | None = None   # None = auto (eval + TPU backend)
+    fused_train: bool | None = None  # None = auto (train + TPU backend);
+                                # the custom-VJP path of ops/dgcnn_train.py
+                                # (same math/params/stats as naive, grads
+                                # proven in tests/test_dgcnn_train_fused.py)
 
     def _bn(self, name: str, z: jnp.ndarray, train: bool) -> jnp.ndarray:
         """BatchNorm over all axes but the last (torch BN2d semantics)."""
@@ -104,6 +108,33 @@ class DGCNN(nn.Module):
             dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
             return dgcnn_eval_pallas(x, ws + [w5], affines, k=self.k,
                                      dtype=dt)
+
+        fused_train = self.fused_train
+        if fused_train is None:
+            fused_train = False      # auto stays off until the train kernels
+                                     # measure faster than XLA on chip
+        if (train and fused_train and not self.is_initializing()
+                and self.bn_axis_name is None):
+            from ogmm_tpu.ops.dgcnn_train import dgcnn_train_fused
+            chans = list(_STAGES) + [self.emb_dims]
+            gammas, betas, ras = [], [], []
+            for i, C in enumerate(chans):
+                gammas.append(self.param(f'bn{i+1}_scale',
+                                         nn.initializers.ones, (C,)))
+                betas.append(self.param(f'bn{i+1}_bias',
+                                        nn.initializers.zeros, (C,)))
+                ras.append((
+                    self.variable('batch_stats', f'bn{i+1}_mean',
+                                  lambda C=C: jnp.zeros((C,), jnp.float32)),
+                    self.variable('batch_stats', f'bn{i+1}_var',
+                                  lambda C=C: jnp.ones((C,), jnp.float32))))
+            out, moments = dgcnn_train_fused(
+                x, ws + [w5], gammas, betas, k=self.k,
+                dtype=self.dtype or 'float32')
+            for (ra_mean, ra_var), (mean, var) in zip(ras, moments):
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            return out
 
         idx = knn(x, x, self.k)                      # one graph, reused
         e = graph_feature(x, self.k, idx=idx)        # (B, N, k, 6)

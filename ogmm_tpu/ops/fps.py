@@ -65,15 +65,27 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
 
 def _fps_loop(xyz: jnp.ndarray, npoint: int, distance: jnp.ndarray,
               farthest: jnp.ndarray) -> jnp.ndarray:
-    """Shared FPS recurrence from an explicit (distance, start) state."""
-    B = xyz.shape[0]
+    """Shared FPS recurrence from an explicit (distance, start) state.
+
+    Layout: the loop carries the points TRANSPOSED to (B, 3, N) so every
+    per-step tensor keeps N on the 128-lane axis — the natural (B, N, 3)
+    form puts the size-3 coordinate axis on lanes and wastes 125/128 of the
+    VPU (measured 2.8 of the 3.1 ms loop cost at B=96, N=717;
+    profiles/r2/PROFILE.md). The selected point is picked by a one-hot
+    multiply-reduce rather than a lane-dim gather; results are bit-identical
+    to the direct form (exact pick, same 3-term sum order, same argmax tie
+    rule)."""
+    B, N, _ = xyz.shape
+    xt = jnp.swapaxes(xyz, 1, 2)                        # (B, 3, N)
     centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
     def body(i, carry):
         centroids, distance, farthest = carry
         centroids = centroids.at[:, i].set(farthest)
-        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B,1,3)
-        dist = ((xyz - centroid) ** 2).sum(-1)
+        onehot = (iota == farthest[:, None]).astype(xt.dtype)       # (B, N)
+        centroid = (xt * onehot[:, None, :]).sum(-1, keepdims=True)  # (B,3,1)
+        dist = ((xt - centroid) ** 2).sum(1)                        # (B, N)
         distance = jnp.minimum(distance, dist)
         farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
         return centroids, distance, farthest

@@ -3,13 +3,20 @@
 The DGCNN encoder (reference models/dgcnn.py:118-154) builds one kNN graph,
 materialises a (B, N, k, C) edge tensor, and chains four 1x1-conv stages over
 it with a max over k after each — composed in XLA that is >500 MB of HBM
-round-trips per cloud (the largest cost in the forward pass: ~5.8 ms/cloud
-at B=24, N=717, k=20 even with the Pallas kNN).
+round-trips per cloud (the largest cost in the forward pass).
 
-This kernel fuses everything per 128-query tile: the (TN, N) distance block,
-k passes of (argmin -> one-hot gather -> stage1..4 matmuls -> running max),
-and the final Dense(512) — all VMEM-resident. The edge tensor never exists;
-HBM traffic is xyz in, (B, N, 512) features out.
+This kernel fuses everything per query tile: the (TN, N) distance block, a
+k-pass argmin scan that extracts the neighbours, and ONE stage-matmul chain
+over the whole (k*TN, C) VMEM-resident edge block — followed by the max over
+k and the final Dense(512). The edge tensor never reaches HBM; traffic is
+xyz in, (B, N, 512) features out.
+
+Round-2 restructure (profiles/r2/PROFILE.md): the round-1 kernel ran the four
+stage matmuls INSIDE the k-loop — 20 serialized passes of tiny (TN, C)
+matmuls that left the MXU mostly idle (7.7 ms/step at the bench shape). The
+k-loop now only extracts neighbour rows (argmin + mask + one-hot gather
+matmul, the part that is inherently sequential); the stage chain runs once
+per tile on k-times-taller operands.
 
 Eval-only: BatchNorm folds into per-channel (scale, bias) from running
 stats, so this path is valid when `train=False` (the training path keeps the
@@ -18,7 +25,9 @@ defined — do not differentiate through it.
 
 Neighbour ordering matches ops/pallas_knn.py (ascending distance, first-index
 ties). Stage matmuls run in the model's compute dtype (bf16) with fp32
-accumulation; the distance block is fp32 HIGHEST like everywhere else.
+accumulation; the distance block and the neighbour gather are fp32 HIGHEST
+like everywhere else (the edge value nbr - q is formed in the compute dtype,
+matching the round-1 kernel and the jnp fallback's cast point).
 """
 from __future__ import annotations
 
@@ -52,7 +61,7 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     dt = dtype
     qc = q.astype(dt)
     # weights arrive with the BN scale pre-folded (w * scale); only the bias
-    # remains per stage — one fewer VPU op in the hot k-pass loop
+    # remains per stage
     w1, w2, w3, w4, w5 = (r[:].astype(dt) for r in
                           (w1_ref, w2_ref, w3_ref, w4_ref, w5_ref))
     b1 = a1_ref[0].astype(dt)
@@ -61,6 +70,22 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     b4 = a4_ref[0].astype(dt)
     b5 = a5_ref[0].astype(dt)
 
+    # ---- neighbour extraction: the only inherently sequential part --------
+    # Unrolled so each pass's neighbour block lands at a static stack slot.
+    edges = []
+    for _ in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
+        hit = col == am[:, None]                             # (TN, N)
+        onehot = hit.astype(jnp.float32)
+        nbr = jax.lax.dot_general(onehot, t, (((1,), (0,)), ((), ())),
+                                  precision=_HI,
+                                  preferred_element_type=jnp.float32)
+        edges.append(jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1))
+        d2 = jnp.where(hit, jnp.inf, d2)
+
+    e = jnp.concatenate(edges, axis=0)                       # (k*TN, 6)
+
+    # ---- one stage chain over the whole edge block ------------------------
     def mm(h, w):
         return jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -68,31 +93,16 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     def stage(h, w, b):
         return jnp.maximum(mm(h, w).astype(dt) + b, 0)
 
-    neg = jnp.float32(-jnp.inf)
-    m1 = jnp.full((TN, w1.shape[1]), neg, dt)
-    m2 = jnp.full((TN, w2.shape[1]), neg, dt)
-    m3 = jnp.full((TN, w3.shape[1]), neg, dt)
-    m4 = jnp.full((TN, w4.shape[1]), neg, dt)
+    h1 = stage(e, w1, b1)                                    # (k*TN, 64)
+    h2 = stage(h1, w2, b2)                                   # (k*TN, 64)
+    h3 = stage(h2, w3, b3)                                   # (k*TN, 128)
+    h4 = stage(h3, w4, b4)                                   # (k*TN, 256)
 
-    def body(j, carry):
-        d2, m1, m2, m3, m4 = carry
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
-        onehot = (col == am[:, None]).astype(jnp.float32)    # (TN, N)
-        nbr = jax.lax.dot_general(onehot, t, (((1,), (0,)), ((), ())),
-                                  precision=_HI,
-                                  preferred_element_type=jnp.float32)
-        e = jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1)  # (TN, 6)
-        h1 = stage(e, w1, b1)                                # (TN, 64)
-        h2 = stage(h1, w2, b2)                               # (TN, 64)
-        h3 = stage(h2, w3, b3)                               # (TN, 128)
-        h4 = stage(h3, w4, b4)                               # (TN, 256)
-        return (jnp.where(col == am[:, None], jnp.inf, d2),
-                jnp.maximum(m1, h1), jnp.maximum(m2, h2),
-                jnp.maximum(m3, h3), jnp.maximum(m4, h4))
+    def kmax(h):
+        return jnp.max(h.reshape(k, TN, h.shape[-1]), axis=0)
 
-    _, m1, m2, m3, m4 = jax.lax.fori_loop(0, k, body, (d2, m1, m2, m3, m4))
-
-    cat = jnp.concatenate([m1, m2, m3, m4], axis=-1)         # (TN, 512)
+    cat = jnp.concatenate([kmax(h1), kmax(h2), kmax(h3), kmax(h4)],
+                          axis=-1)                           # (TN, 512)
     out_ref[0] = jnp.maximum(mm(cat, w5).astype(dt) + b5, 0)
 
 
@@ -107,12 +117,13 @@ def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
     affines: 5 folded BN (scale, bias) pairs, each (C,) fp32
              (scale = gamma*rsqrt(var+eps), bias = beta - mean*scale).
 
-    tile_n=None uses full-height tiles (one program per cloud) — measured
-    fastest at N=717 (larger per-pass matmuls, better MXU utilisation).
-    Caller must keep N <= ~1024: the (tile, N) distance block lives in VMEM.
+    tile_n=None defaults to 128-row query tiles: the per-tile edge block is
+    (k*tile_n, 256) at its widest, so VMEM holds the whole stage chain with
+    room for the (tile_n, N) f32 distance block. Caller must keep
+    N <= ~1024 either way.
     """
     B, N, _ = x.shape
-    tile_n = min(tile_n or N, N)
+    tile_n = min(tile_n or 128, N)
     grid = (B, pl.cdiv(N, tile_n))
     emb = weights[4].shape[1]
     kern = functools.partial(_dgcnn_kernel, k=k, dtype=dtype)

@@ -1,0 +1,135 @@
+"""Differentiable fused DGCNN train path vs autodiff of the naive module.
+
+VERDICT r1 next #3's acceptance: fused-train gradients match the naive path.
+The jnp custom-VJP implementation (ops/dgcnn_train.py) is compared against
+jax.grad through the naive nn/dgcnn.py composition — outputs, batch moments
+(running-stat inputs), and gradients w.r.t. every weight, BN scale/bias, and
+the input points.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ogmm_tpu.nn.dgcnn import DGCNN
+from ogmm_tpu.ops.dgcnn_train import dgcnn_train_fused
+
+B, N, K = 2, 96, 8
+
+
+def _setup(rng, dtype=None):
+    x = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.4)
+    model = DGCNN(emb_dims=64, k=K, dtype=dtype, fused=False)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    # move BN params off their 1/0 init so scale/bias grads are non-trivial
+    params = jax.tree_util.tree_map(lambda p: p, v['params'])
+    for i in range(1, 6):
+        params[f'bn{i}_scale'] = params[f'bn{i}_scale'] * jnp.asarray(
+            1.0 + 0.1 * rng.randn(*params[f'bn{i}_scale'].shape),
+            jnp.float32)
+        params[f'bn{i}_bias'] = jnp.asarray(
+            0.05 * rng.randn(*params[f'bn{i}_bias'].shape), jnp.float32)
+    return x, model, {'params': params, 'batch_stats': v['batch_stats']}
+
+
+def _unpack(params):
+    ws = [params[f'w{i}'] for i in range(1, 6)]
+    gs = [params[f'bn{i}_scale'] for i in range(1, 6)]
+    bs = [params[f'bn{i}_bias'] for i in range(1, 6)]
+    return ws, gs, bs
+
+
+def _naive_loss(model, variables, x, wvec):
+    def f(params, x):
+        out, mut = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, train=True, mutable=['batch_stats'])
+        return (out.astype(jnp.float32) * wvec).sum(), mut['batch_stats']
+    return f
+
+
+def _fused_loss(dtype):
+    def f(params, x, wvec):
+        ws, gs, bs = _unpack(params)
+        out, moments = dgcnn_train_fused(x, ws, gs, bs, k=K, dtype=dtype)
+        return (out.astype(jnp.float32) * wvec).sum(), moments
+    return f
+
+
+def _compare(dtype, rtol_out, rtol_grad, atol_grad):
+    rng = np.random.RandomState(3)
+    x, model, variables = _setup(rng, dtype=dtype)
+    wvec = jnp.asarray(rng.randn(B, N, 64).astype(np.float32))
+
+    naive = _naive_loss(model, variables, x, wvec)
+    (loss_n, stats_n), g_n = jax.value_and_grad(
+        naive, argnums=(0, 1), has_aux=True)(variables['params'], x)
+    gp_n, gx_n = g_n
+
+    fused = _fused_loss(dtype or 'float32')
+    (loss_f, moments), g_f = jax.value_and_grad(
+        fused, argnums=(0, 1), has_aux=True)(variables['params'], x, wvec)
+    gp_f, gx_f = g_f
+
+    np.testing.assert_allclose(loss_f, loss_n, rtol=rtol_out)
+
+    # batch moments must equal what the naive path fed its running stats:
+    # new_ra = 0.9*old + 0.1*batch with old mean 0 / var 1
+    for i, (mean, var) in enumerate(moments):
+        np.testing.assert_allclose(np.asarray(mean) * 0.1,
+                                   np.asarray(stats_n[f'bn{i+1}_mean']),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(0.9 + np.asarray(var) * 0.1,
+                                   np.asarray(stats_n[f'bn{i+1}_var']),
+                                   rtol=1e-5, atol=1e-6)
+
+    for name in gp_n:
+        a, b = np.asarray(gp_f[name]), np.asarray(gp_n[name])
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(
+            a, b, rtol=rtol_grad, atol=atol_grad * scale,
+            err_msg=f"grad mismatch for {name}")
+    scale = np.abs(gx_n).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
+                               rtol=rtol_grad, atol=atol_grad * scale,
+                               err_msg="grad mismatch for x")
+
+
+def test_module_fused_train_matches_naive():
+    """DGCNN(fused_train=True) shares the param/stat tree with the naive
+    path: same outputs, same running-stat updates, grads flow."""
+    rng = np.random.RandomState(7)
+    x, model, variables = _setup(rng, dtype=None)
+    fused = DGCNN(emb_dims=64, k=K, dtype=None, fused=False, fused_train=True)
+
+    out_n, mut_n = model.apply(variables, x, train=True,
+                               mutable=['batch_stats'])
+    out_f, mut_f = fused.apply(variables, x, train=True,
+                               mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                               rtol=1e-4, atol=1e-5)
+    for kk in mut_n['batch_stats']:
+        np.testing.assert_allclose(
+            np.asarray(mut_f['batch_stats'][kk]),
+            np.asarray(mut_n['batch_stats'][kk]), rtol=1e-5, atol=1e-6,
+            err_msg=f"batch_stats mismatch for {kk}")
+
+    def loss(params):
+        out, _ = fused.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, train=True, mutable=['batch_stats'])
+        return (out ** 2).sum()
+
+    g = jax.grad(loss)(variables['params'])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert all(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_fused_train_grads_fp32():
+    _compare(None, rtol_out=1e-5, rtol_grad=1e-3, atol_grad=1e-4)
+
+
+def test_fused_train_grads_bf16():
+    # bf16 forward noise bounds the agreement; tolerances mirror the fused
+    # eval kernel's bf16 parity test
+    _compare('bfloat16', rtol_out=0.05, rtol_grad=0.1, atol_grad=0.05)
