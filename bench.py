@@ -12,6 +12,12 @@ discards its own timers, train.py:29-30,100-104 — both sides are measured
 here). `vs_baseline` = our pairs/s/chip divided by the reference's pairs/s
 measured on this image's torch build (BASELINE_MEASURED.json; falls back to
 a frozen constant from the same measurement).
+
+Timing protocol (round 2, see scripts/kernel_ab.py): over the axon tunnel a
+per-call Python loop measures the ~25-35 ms dispatch RTT and the output
+download, not the chip. Each measurement here is ONE dispatch — lax.scan
+over R stacked DISTINCT input pairs reduced to a scalar — with the no-op
+dispatch RTT subtracted; two alternating input stacks defeat dispatch dedup.
 """
 import json
 import os
@@ -21,6 +27,8 @@ import numpy as np
 
 # frozen from bench_reference.py on this image (torch 2.13 CPU, 1 core host)
 FALLBACK_BASELINE_PPS = 0.5379
+
+R = 16          # pairs of batches per dispatch
 
 
 def main():
@@ -38,35 +46,44 @@ def main():
     B, N = 24, 717
     rs = np.random.RandomState(0)
 
-    # Timing protocol (CLAUDE.md): the tunnel can dedup repeated identical
-    # dispatches, so pre-stage several DISTINCT (src, tgt) buffer sets and
-    # cycle them across reps; pipeline the loop; final host fetch of every
-    # set's last output is the sync barrier (block_until_ready has been
-    # observed returning early over the tunnel).
-    n_sets = 4
-    inputs = [
-        (jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3),
-         jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.3))
-        for _ in range(n_sets)
-    ]
-    src, tgt = inputs[0]
+    def stack():
+        return (jnp.asarray(rs.randn(R, B, N, 3).astype(np.float32) * 0.3),
+                jnp.asarray(rs.randn(R, B, N, 3).astype(np.float32) * 0.3))
+
+    xs1, xs2 = stack(), stack()
+    src, tgt = xs1[0][0], xs1[1][0]
 
     model = GMMReg(cfg=cfg.model)
     variables = model.init({'params': jax.random.PRNGKey(0)}, src, tgt,
                            train=False)
-    fwd = jax.jit(lambda s, t: model.apply(variables, s, t, train=False))
 
-    for s, t in inputs:
-        np.asarray(fwd(s, t)[0])                    # compile + warmup + sync
-    reps = 20
-    outs = [None] * n_sets
-    t0 = time.perf_counter()
-    for i in range(reps):
-        s, t = inputs[i % n_sets]
-        outs[i % n_sets] = fwd(s, t)
-    for o in outs:                                  # hard sync barrier
-        np.asarray(o[0])
-    dt = (time.perf_counter() - t0) / reps
+    # tunnel dispatch RTT floor, subtracted from every measurement
+    noop = jax.jit(lambda x: x + 1.0)
+    tiny = jnp.zeros((8,), jnp.float32)
+    np.asarray(noop(tiny))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(noop(tiny))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    def scanned(srcs, tgts):
+        def body(c, st):
+            s, t = st
+            rot, trans, *_ = model.apply(variables, s, t, train=False)
+            return c + rot.astype(jnp.float32).sum(), None
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            (srcs, tgts))[0]
+
+    fwd = jax.jit(scanned)
+    np.asarray(fwd(*xs1))                       # compile + warm
+    ts = []
+    for xs in (xs2, xs1, xs2):
+        t0 = time.perf_counter()
+        np.asarray(fwd(*xs))
+        ts.append(time.perf_counter() - t0)
+    dt = (min(ts) - rtt) / R
     pps = B / dt
 
     baseline = FALLBACK_BASELINE_PPS

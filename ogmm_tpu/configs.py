@@ -45,6 +45,10 @@ class ModelConfig:
     # a documented divergence (sync-BN-style, not reference-exact).
     stack_eval: bool = True
     stack_train: bool = False
+    # differentiable fused DGCNN training path (ops/dgcnn_train.py): same
+    # math/params/stats as the naive composition, hand-scheduled fwd/bwd
+    # Pallas kernels. None = DGCNN's auto rule; True/False force it.
+    dgcnn_fused_train: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

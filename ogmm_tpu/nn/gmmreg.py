@@ -91,7 +91,8 @@ class GMMReg(nn.Module):
         # Procrustes, ICP) always runs fp32
         dt = None if cfg.dtype in (None, "float32") else cfg.dtype
 
-        dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt)
+        dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
+                      fused_train=cfg.dgcnn_fused_train)
         pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
         sattn1 = TransformerBlock(D, cfg.num_heads, dt)
         cattn = TransformerBlock(D, cfg.num_heads, dt)

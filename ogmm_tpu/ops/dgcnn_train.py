@@ -51,6 +51,12 @@ from ogmm_tpu.ops.common import graph_feature, knn
 
 _AXES = (0, 1, 2)   # BN reduce axes, (B, k, N, C) stages and (B, N, C) head
 _EPS = 1e-5
+# kernel-dispatch tuning knobs (chip A/B in scripts/bench_train_fused.py,
+# 2026-08-16 v5e: jnp bwd 52.5 ms/step vs Pallas bwd 56.1 — the hand
+# kernels' extra recompute passes lose to XLA's fused backward; kept
+# opt-in + interpreter-tested for future tuning)
+_BWD_PALLAS = False  # Pallas backward kernels vs the jnp reference backward
+_BWD_TILE = 128      # query-tile height for the backward kernels
 
 
 def _relu_vjp(g, y):
@@ -111,11 +117,24 @@ def _stage_bwd(dy, z, mean, var, gamma):
     return dz32.astype(dt), s2, s1
 
 
-def _max_vjp(dtap, h, tap):
-    """VJP of h.max(axis=1): split evenly among ties (jax reduce_max)."""
-    mask = (h == tap[:, None, :, :]).astype(dtap.dtype)
-    cnt = mask.sum(axis=1, keepdims=True)
-    return dtap[:, None, :, :] * mask / cnt
+def _max_vjp(dtap, h):
+    """VJP of h.max(axis=1) via argmax one-hot.
+
+    jax's reduce_max VJP splits the cotangent evenly among ties using a
+    bitwise h == max(h) mask. That construction is NOT safe here: h is
+    RECOMPUTED in the backward, and on TPU XLA's excess precision can
+    produce different bits for the h feeding the max and the h feeding the
+    compare — the mask comes up empty, 0/0, NaN gradients (observed on
+    chip; CPU recompute is bitwise-stable so CPU tests alone don't catch
+    it). An integer argmax one-hot has no float equality and no division:
+    ties send the whole cotangent to the first maximal element — the only
+    (measure-zero) deviation from jax.grad of the naive path, and the total
+    cotangent mass is identical.
+    """
+    am = jnp.argmax(h, axis=1)                           # (B, N, C)
+    iota = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    mask = (iota == am[:, None, :, :]).astype(dtap.dtype)
+    return dtap[:, None, :, :] * mask
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -183,6 +202,11 @@ def _bwd_vjp(k: int, dtype, res, cts):
     dbs = [None] * 5
     dws[4], dgs[4], dbs[4] = dw5, dg5, db5
 
+    from ogmm_tpu.ops.dispatch import use_pallas
+    if _BWD_PALLAS and use_pallas() and x.shape[1] <= 1024:
+        return _bwd_pallas(x, idx, e, zs, taps, dtaps, ws, gammas, betas,
+                           moments, dws, dgs, dbs, dt)
+
     hs = [e]                                   # stage inputs h_0..h_3
     for i in range(4):
         mean, var = moments[i]
@@ -193,7 +217,7 @@ def _bwd_vjp(k: int, dtype, res, cts):
     for i in range(3, -1, -1):
         mean, var = moments[i]
         h_i = hs[i + 1]
-        dh = _max_vjp(dtaps[i], h_i, taps[i])
+        dh = _max_vjp(dtaps[i], h_i)
         if dz_next is not None:
             dh = dh + jnp.einsum(
                 'bkno,io->bkni', dz_next, ws[i + 1].astype(dt),
@@ -216,6 +240,33 @@ def _bwd_vjp(k: int, dtype, res, cts):
     dx = dx.at[jnp.arange(B)[:, None], ids, :].add(dneigh.reshape(B, -1, 3))
     dx = dx + dcenter.sum(axis=1)
     return (dx.astype(x.dtype), tuple(dws), tuple(dgs), tuple(dbs))
+
+
+def _bwd_pallas(x, idx, e, zs, taps, dtaps, ws, gammas, betas, moments,
+                dws, dgs, dbs, dt):
+    """Kernelised stages-4..1 backward (ops/pallas_dgcnn_train.py)."""
+    from ogmm_tpu.ops.pallas_dgcnn_train import (
+        bwd_edge_pallas, bwd_reduce_pallas, bwd_stage_pallas)
+    s = {3: bwd_reduce_pallas(zs[3], dtaps[3], *moments[3],
+                              gammas[3], betas[3], tile_n=_BWD_TILE,
+                              dtype=dt)}
+    dzs = {}
+    for i in (3, 2, 1):
+        dzs[i], dws[i], s[i - 1] = bwd_stage_pallas(
+            zs[i], dtaps[i], *moments[i], gammas[i], betas[i],
+            s[i], ws[i],
+            zs[i - 1], *moments[i - 1], gammas[i - 1], betas[i - 1],
+            dtaps[i - 1],
+            dznext=(dzs[i + 1] if i < 3 else None),
+            wnext=(ws[i + 1] if i < 3 else None), tile_n=_BWD_TILE,
+            dtype=dt)
+        dgs[i], dbs[i] = s[i][1], s[i][0]
+    dws[0], dq, dscat = bwd_edge_pallas(
+        zs[0], dtaps[0], *moments[0], gammas[0], betas[0], s[0],
+        dzs[1], ws[1], e, ws[0], idx, tile_n=_BWD_TILE, dtype=dt)
+    dgs[0], dbs[0] = s[0][1], s[0][0]
+    dx = (dq + dscat).astype(x.dtype)
+    return (dx, tuple(dws), tuple(dgs), tuple(dbs))
 
 
 _dgcnn_train.defvjp(_fwd_vjp, _bwd_vjp)

@@ -52,6 +52,7 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
     log_q = jnp.log(1.0 / K + 1e-8)                         # scalar
     x_sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)       # (N, 1)
     ones_row = jnp.ones((8, N), jnp.float32)                # MXU column-sum
+    ones_col = jnp.ones((K, 8), jnp.float32)                # MXU row-sum
 
     def em_body(_, carry):
         nodes, _, _ = carry
@@ -64,18 +65,24 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
         cost = jnp.sqrt(d2) / tau
 
         # ---- log-domain Sinkhorn, fixed trips (ops/sinkhorn.py) ---------
-        # mxu_lse: cost >= 0 and u,v track marginals <= 1, so the log-plan
-        # entries stay <= ~0 and exp never overflows — the column logsumexp
-        # can skip the max-stabiliser and reduce over the 717 sublanes with
-        # one ones-matmul on the MXU instead of a sublane reduction chain
-        # (the kernel's slow direction). A 1e-38 floor keeps fully-underflowed
-        # columns finite (v then recovers on the next trip).
-        def sk_body(_, uv):
-            u, v = uv                                       # (N,1), (1,K)
+        # mxu_lse: after a row (column) half-update, that axis of the plan
+        # sums to a marginal <= 1, so log-plan entries stay <= 0 and every
+        # row max is >= log_p - log K — exp can neither overflow nor fully
+        # underflow. Both logsumexps then skip the max-stabiliser and reduce
+        # via a ones-matmul on the MXU instead of cross-lane/sublane
+        # reduction chains (the kernel's slow direction). The FIRST row
+        # update sees the raw -cost/eps (entries down to ~-100 at eps=1e-2)
+        # where an unstabilised sum underflows to 0, so trip one runs the
+        # stabilised row update; a 1e-38 floor covers pathological
+        # rows/columns thereafter (zero-mass points/clusters; gamma's 1e-3
+        # row clamp absorbs the difference and u/v recover next trip).
+        def row_stab(u, v):
             lk = (-cost + u + v) / eps
             m = jnp.max(lk, axis=1, keepdims=True)
             lse = m + jnp.log(jnp.sum(jnp.exp(lk - m), axis=1, keepdims=True))
-            u = eps * (log_p - lse) + u
+            return eps * (log_p - lse) + u
+
+        def col_update(u, v):
             lk = (-cost + u + v) / eps
             if mxu_lse:
                 s = jax.lax.dot_general(
@@ -86,12 +93,25 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
                 m = jnp.max(lk, axis=0, keepdims=True)
                 lse = m + jnp.log(
                     jnp.sum(jnp.exp(lk - m), axis=0, keepdims=True))
-            v = eps * (log_q - lse) + v
-            return u, v
+            return eps * (log_q - lse) + v
+
+        def sk_body(_, uv):
+            u, v = uv                                       # (N,1), (1,K)
+            if mxu_lse:
+                lk = (-cost + u + v) / eps
+                s = jax.lax.dot_general(
+                    jnp.exp(lk), ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (N, 8)
+                u = eps * (log_p - jnp.log(s[:, 0:1] + 1e-38)) + u
+            else:
+                u = row_stab(u, v)
+            return u, col_update(u, v)
 
         u0 = jnp.zeros((N, 1), jnp.float32)
         v0 = jnp.zeros((1, K), jnp.float32)
-        u, v = jax.lax.fori_loop(0, sk_iters, sk_body, (u0, v0))
+        u = row_stab(u0, v0)                                 # trip 1: exact
+        v = col_update(u, v0)
+        u, v = jax.lax.fori_loop(1, sk_iters, sk_body, (u, v))
         gamma = jnp.exp((-cost + u + v) / eps)
         gamma = jnp.where(jnp.isfinite(gamma), gamma, 0.0)   # nan_to_num
         gamma = gamma / jnp.maximum(

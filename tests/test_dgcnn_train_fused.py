@@ -55,7 +55,7 @@ def _fused_loss(dtype):
     return f
 
 
-def _compare(dtype, rtol_out, rtol_grad, atol_grad):
+def _compare(dtype, rtol_out, rtol_grad, atol_grad, mismatch_frac=0.0):
     rng = np.random.RandomState(3)
     x, model, variables = _setup(rng, dtype=dtype)
     wvec = jnp.asarray(rng.randn(B, N, 64).astype(np.float32))
@@ -82,16 +82,19 @@ def _compare(dtype, rtol_out, rtol_grad, atol_grad):
                                    np.asarray(stats_n[f'bn{i+1}_var']),
                                    rtol=1e-5, atol=1e-6)
 
-    for name in gp_n:
-        a, b = np.asarray(gp_f[name]), np.asarray(gp_n[name])
+    def check(a, b, name):
         scale = np.abs(b).max() + 1e-12
-        np.testing.assert_allclose(
-            a, b, rtol=rtol_grad, atol=atol_grad * scale,
-            err_msg=f"grad mismatch for {name}")
-    scale = np.abs(gx_n).max() + 1e-12
-    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_n),
-                               rtol=rtol_grad, atol=atol_grad * scale,
-                               err_msg="grad mismatch for x")
+        ok = np.isclose(a, b, rtol=rtol_grad, atol=atol_grad * scale)
+        # mismatch_frac > 0 allows isolated deviations: the fused max-VJP
+        # sends tie cotangents to the FIRST maximal element where jax splits
+        # them evenly (ops/dgcnn_train._max_vjp) — bf16 ties are common
+        # enough to surface as single-element differences
+        assert 1.0 - ok.mean() <= mismatch_frac, (
+            f"grad mismatch for {name}: {(~ok).sum()}/{ok.size} elements")
+
+    for name in gp_n:
+        check(np.asarray(gp_f[name]), np.asarray(gp_n[name]), name)
+    check(np.asarray(gx_f), np.asarray(gx_n), "x")
 
 
 def test_module_fused_train_matches_naive():
@@ -132,4 +135,57 @@ def test_fused_train_grads_fp32():
 def test_fused_train_grads_bf16():
     # bf16 forward noise bounds the agreement; tolerances mirror the fused
     # eval kernel's bf16 parity test
-    _compare('bfloat16', rtol_out=0.05, rtol_grad=0.1, atol_grad=0.05)
+    _compare('bfloat16', rtol_out=0.05, rtol_grad=0.1, atol_grad=0.05,
+             mismatch_frac=0.03)
+
+
+def _patch_interpret(monkeypatch, tile_n):
+    import functools
+    import ogmm_tpu.ops.pallas_dgcnn_train as pt
+    for name in ("graph_stage1_pallas", "bwd_reduce_pallas",
+                 "bwd_stage_pallas", "bwd_edge_pallas"):
+        monkeypatch.setattr(pt, name, functools.partial(
+            getattr(pt, name), interpret=True, tile_n=tile_n))
+
+
+def _pallas_vs_jnp(monkeypatch, dtype, rtol, atol):
+    """Full fused-train fwd+bwd: Pallas kernels (interpreter, tiled so the
+    last tile is PADDED) vs the jnp reference."""
+    from ogmm_tpu.ops.dispatch import pallas_override
+    _patch_interpret(monkeypatch, tile_n=32)
+    rng = np.random.RandomState(11)
+    N = 90                                # 32+32+26: exercises row masking
+    x = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.4)
+    model = DGCNN(emb_dims=64, k=K, dtype=dtype, fused=False)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    wvec = jnp.asarray(rng.randn(B, N, 64).astype(np.float32))
+
+    fused = _fused_loss(dtype or 'float32')
+    with pallas_override(False):
+        (l_j, m_j), g_j = jax.value_and_grad(
+            fused, argnums=(0, 1), has_aux=True)(v['params'], x, wvec)
+    with pallas_override(True):
+        (l_p, m_p), g_p = jax.value_and_grad(
+            fused, argnums=(0, 1), has_aux=True)(v['params'], x, wvec)
+
+    np.testing.assert_allclose(l_p, l_j, rtol=rtol)
+    for (mp, vp), (mj, vj) in zip(m_p, m_j):
+        np.testing.assert_allclose(np.asarray(mp), np.asarray(mj),
+                                   rtol=rtol, atol=atol)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vj),
+                                   rtol=rtol, atol=atol)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_p)
+    flat_j, _ = jax.tree_util.tree_flatten_with_path(g_j)
+    for (path, a), (_, b) in zip(flat_p, flat_j):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol * scale,
+                                   err_msg=f"pallas-vs-jnp grad at {path}")
+
+
+def test_pallas_backward_matches_jnp_fp32(monkeypatch):
+    _pallas_vs_jnp(monkeypatch, None, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_backward_matches_jnp_bf16(monkeypatch):
+    _pallas_vs_jnp(monkeypatch, 'bfloat16', rtol=0.05, atol=0.02)
