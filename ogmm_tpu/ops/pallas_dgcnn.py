@@ -72,13 +72,18 @@ def _dgcnn_kernel(xt_ref, xf_ref,
 
     # ---- neighbour extraction: the only inherently sequential part --------
     # Unrolled so each pass's neighbour block lands at a static stack slot.
+    # The one-hot gather matmul runs in the compute dtype: with exactly one
+    # nonzero {0,1} per row, a bf16 onehot @ bf16(t) product is exact and
+    # returns bit-identical bf16 neighbour values at full MXU rate (the f32
+    # HIGHEST path costs 3 MXU passes and was the kernel's largest cost at
+    # 20 passes/tile); fp32 mode keeps the fp32 gather.
+    tc = t.astype(dt)
     edges = []
     for _ in range(k):
         am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
         hit = col == am[:, None]                             # (TN, N)
-        onehot = hit.astype(jnp.float32)
-        nbr = jax.lax.dot_general(onehot, t, (((1,), (0,)), ((), ())),
-                                  precision=_HI,
+        onehot = hit.astype(dt)
+        nbr = jax.lax.dot_general(onehot, tc, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         edges.append(jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1))
         d2 = jnp.where(hit, jnp.inf, d2)

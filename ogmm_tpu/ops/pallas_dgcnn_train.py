@@ -49,6 +49,13 @@ def _stage1_kernel(xt_ref, xf_ref, w1_ref, z_ref, e_ref, idx_ref, *,
     w1 = w1_ref[:].astype(dt)              # (6, C1)
     idxs = jnp.zeros((TN, k), jnp.int32)
 
+    # NB: unlike the eval kernel, the gather stays f32 HIGHEST — a bf16
+    # one-hot gather (bf16-rounded t before the subtract) perturbs the edge
+    # values by ~0.4%, which BN batch-stat gradients amplify enough that the
+    # kernel-vs-jnp parity contract can no longer be bounded tightly
+    # (measured up to ~40% of max-scale on single grad elements). Training
+    # keeps the exact jnp-reference semantics; the ~2 ms/step it would buy
+    # is not worth the looser contract.
     for j in range(k):                     # unrolled: static stack slots
         am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
         hit = col == am[:, None]
