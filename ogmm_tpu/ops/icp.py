@@ -51,8 +51,18 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     t0 = init_pose[..., :3, 3]
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        # VMEM bound: the 1-NN kernel holds a (tile, M) f32 block
-        use_pallas = tgt.shape[1] <= 8192 and _auto()
+        # At M <= 1024 XLA's fused (B, N, M) path wins (5.7 vs 9.5 ms for
+        # 30 trips at the bench shape — 30 kernel dispatches of glue cost
+        # more than the HBM matrix); the 1-NN kernel pays off once the
+        # distance matrix outgrows HBM-friendly sizes. VMEM bound: the
+        # kernel holds a (tile, M) f32 block.
+        use_pallas = 1024 < tgt.shape[1] <= 8192 and _auto()
+
+    # NB: a whole-loop fused kernel exists (ops/pallas_icp.py, interpreter
+    # parity in tests/test_icp.py) but measured 13.0 ms vs 5.6 ms for this
+    # scan at the bench shape — the Horn power iteration's 900 tiny 4x4
+    # matvecs per cloud are Mosaic-hostile (each burns a full padded vreg
+    # op). Kept opt-in for large-M futures; this scan is the default.
 
     def body(carry, _):
         rot, t = carry
@@ -144,7 +154,8 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
         tgt_normals = estimate_normals_knn(tgt, k=normal_k)
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        use_pallas = tgt.shape[1] <= 8192 and _auto()
+        # same crossover as icp_point_to_point: XLA wins at M <= 1024
+        use_pallas = 1024 < tgt.shape[1] <= 8192 and _auto()
 
     def body(carry, _):
         rot, t = carry

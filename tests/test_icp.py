@@ -152,3 +152,36 @@ def test_refine_registration_pl_flag(rng):
                                  voxel_size=0.04, pl=True)
     assert Rl.shape == (2, 3, 3) and Tl.shape == (2, 3)
     assert np.all(_rre(Rl, rot) < 1.0)
+
+
+def test_icp_pallas_whole_loop_matches_jnp():
+    """The fused whole-loop ICP kernel (ops/pallas_icp.py, interpreter mode)
+    reproduces the jnp scan path step for step (same 1-NN ties, inlier gate,
+    Horn power-iteration solve)."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from ogmm_tpu.core import se3
+    from ogmm_tpu.ops.icp import icp_point_to_point
+    from ogmm_tpu.ops.pallas_icp import icp_pallas
+
+    rs = np.random.RandomState(17)
+    B, N = 3, 96
+    src = rs.randn(B, N, 3).astype(np.float32) * 0.3
+    rot = Rotation.from_rotvec(
+        rs.uniform(-.5, .5, (B, 3))).as_matrix().astype(np.float32)
+    t = rs.uniform(-.4, .4, (B, 3)).astype(np.float32)
+    tgt = (src @ rot.transpose(0, 2, 1) + t[:, None, :])[:, rs.permutation(N)]
+    drot = Rotation.from_rotvec(
+        rs.uniform(-.1, .1, (B, 3))).as_matrix().astype(np.float32)
+    init = se3.integrate(jnp.asarray(drot @ rot), jnp.asarray(t))
+    thr = 0.07
+    r_j, t_j = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                                  thr, max_iter=20, method="horn_pi",
+                                  use_pallas=False)
+    r_p, t_p = icp_pallas(jnp.asarray(src), jnp.asarray(tgt), init,
+                          thr * thr, iters=20, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_j),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
+                               rtol=1e-5, atol=1e-5)

@@ -63,6 +63,26 @@ def test_fused_after_training_stats(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_padded_tail_tile(rng):
+    """N not divisible by tile_n: the tail tile is padded; padded query rows
+    compute garbage that must be dropped, not leak into real outputs."""
+    import functools
+    import ogmm_tpu.ops.pallas_dgcnn as pd
+    x, model, v = _model_pair(rng, B=2, N=90, k=8)
+    ref = model.apply(v, x, train=False)
+    orig = pd.dgcnn_eval_pallas
+    fused = DGCNN(emb_dims=model.emb_dims, k=model.k, dtype=model.dtype,
+                  fused=True)
+    try:
+        pd.dgcnn_eval_pallas = functools.partial(orig, interpret=True,
+                                                 tile_n=32)   # 32+32+26pad
+        out = fused.apply(v, x, train=False)
+    finally:
+        pd.dgcnn_eval_pallas = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_naive_train_grads_flow(rng):
     x, model, v = _model_pair(rng)
 
