@@ -49,10 +49,18 @@ class PositionEncoding(nn.Module):
         h = nn.Dense(self.dim // 2, use_bias=False, dtype=self.dtype)(h)
         dis_feature = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(h, train), 0.2)
 
-        idx = knn(points, points, k)
-        p2lc = gather_neighbors(points, idx) - points[:, :, None, :]  # (B,N,k,3)
-        alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
-                           l2_normalize(p2gc))[..., None]    # (B, N, k, 1)
+        from ogmm_tpu.ops.dispatch import use_pallas
+        if use_pallas() and N <= 1024:
+            # fused kNN + gather + normalised-dot (ops/pallas_knn.py);
+            # neighbour ORDER may differ from the jnp path only at exact
+            # distance ties — the angle features are maxed over k below
+            from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
+            alpha = posenc_angles_pallas(points, k)[..., None]  # (B,N,k,1)
+        else:
+            idx = knn(points, points, k)
+            p2lc = gather_neighbors(points, idx) - points[:, :, None, :]
+            alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
+                               l2_normalize(p2gc))[..., None]  # (B, N, k, 1)
         if self.dtype is not None:
             alpha = alpha.astype(self.dtype)
         a = nn.Dense(64, use_bias=False, dtype=self.dtype)(alpha)

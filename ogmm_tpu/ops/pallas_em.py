@@ -95,24 +95,45 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
                     jnp.sum(jnp.exp(lk - m), axis=0, keepdims=True))
             return eps * (log_q - lse) + v
 
-        def sk_body(_, uv):
-            u, v = uv                                       # (N,1), (1,K)
-            if mxu_lse:
-                lk = (-cost + u + v) / eps
-                s = jax.lax.dot_general(
-                    jnp.exp(lk), ones_col, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (N, 8)
-                u = eps * (log_p - jnp.log(s[:, 0:1] + 1e-38)) + u
-            else:
-                u = row_stab(u, v)
-            return u, col_update(u, v)
-
         u0 = jnp.zeros((N, 1), jnp.float32)
         v0 = jnp.zeros((1, K), jnp.float32)
         u = row_stab(u0, v0)                                 # trip 1: exact
         v = col_update(u, v0)
-        u, v = jax.lax.fori_loop(1, sk_iters, sk_body, (u, v))
-        gamma = jnp.exp((-cost + u + v) / eps)
+
+        if mxu_lse:
+            # After trip 1 every row max of the log-plan is >= log_p - log K
+            # (representable in fp32), so the remaining trips can run in the
+            # DIRECT domain: Sinkhorn scaling is identical whether applied
+            # to u/v in log space or multiplicatively to P = exp(log-plan) —
+            # each trip becomes two ones-matmul marginal sums + two
+            # broadcast multiplies, with ZERO transcendentals (the exp
+            # passes were the kernel's largest VPU cost). Fully-underflowed
+            # entries (< -87 in the log-plan) scale as exact zeros — the
+            # same points the log path floors at 1e-38; gamma's row clamp
+            # absorbs them.
+            p_t = o + 1e-8                                   # exp(log_p)
+            q_t = 1.0 / K + 1e-8                             # exp(log_q)
+            P0 = jnp.exp((-cost + u + v) / eps)
+
+            def sk_direct(_, P):
+                s = jax.lax.dot_general(
+                    P, ones_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (N, 8)
+                P = P * (p_t / jnp.maximum(s[:, 0:1], 1e-38))
+                c = jax.lax.dot_general(
+                    ones_row, P, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (8, K)
+                return P * (q_t / jnp.maximum(c[0:1], 1e-38))
+
+            gamma = jax.lax.fori_loop(1, sk_iters, sk_direct, P0)
+        else:
+            def sk_body(_, uv):
+                u, v = uv                                    # (N,1), (1,K)
+                u = row_stab(u, v)
+                return u, col_update(u, v)
+
+            u, v = jax.lax.fori_loop(1, sk_iters, sk_body, (u, v))
+            gamma = jnp.exp((-cost + u + v) / eps)
         gamma = jnp.where(jnp.isfinite(gamma), gamma, 0.0)   # nan_to_num
         gamma = gamma / jnp.maximum(
             jnp.sum(gamma, axis=1, keepdims=True), 1e-3)

@@ -85,6 +85,77 @@ def knn_pallas(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     )(src.astype(jnp.float32), tgt.astype(jnp.float32))
 
 
+def _angle_kernel(xt_ref, xf_ref, c_ref, out_ref, *, k: int):
+    """Neighbour-angle features for PositionEncoding (models/attn.py:59-75):
+    cos(angle(p -> j-th neighbour, p -> centroid)) for the k nearest
+    neighbours — the kNN scan, gather, and normalised dot fused per tile."""
+    q = xt_ref[0]                          # (TN, 3) f32
+    t = xf_ref[0]                          # (N, 3) f32
+    TN = q.shape[0]
+    N = t.shape[0]
+    cen = c_ref[0]                         # (1, 3)
+
+    inner = jax.lax.dot_general(q, t, (((1,), (1,)), ((), ())),
+                                precision=_HI,
+                                preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(q * q, axis=-1, keepdims=True)
+          + jnp.sum(t * t, axis=-1)[None, :] - 2.0 * inner)
+    d2 = jnp.maximum(d2, 1e-12)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, N), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (TN, k), 1)
+
+    p2gc = q - cen                         # (TN, 3)
+    g_hat = p2gc / jnp.maximum(
+        jnp.sqrt(jnp.sum(p2gc * p2gc, axis=-1, keepdims=True)), 1e-12)
+
+    alpha = jnp.zeros((TN, k), jnp.float32)
+    for j in range(k):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        hit = col == am[:, None]
+        nbr = jax.lax.dot_general(hit.astype(jnp.float32), t,
+                                  (((1,), (0,)), ((), ())),
+                                  precision=_HI,
+                                  preferred_element_type=jnp.float32)
+        p2lc = nbr - q
+        l_hat = p2lc / jnp.maximum(
+            jnp.sqrt(jnp.sum(p2lc * p2lc, axis=-1, keepdims=True)), 1e-12)
+        a_j = jnp.sum(l_hat * g_hat, axis=-1)            # (TN,)
+        alpha = jnp.where(colk == j, a_j[:, None], alpha)
+        d2 = jnp.where(hit, jnp.inf, d2)
+
+    out_ref[0] = alpha
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def posenc_angles_pallas(points: jnp.ndarray, k: int = 5,
+                         tile_n: int = 128,
+                         interpret: bool = False) -> jnp.ndarray:
+    """(B, N, 3) -> (B, N, k) cos angles between each point's k-NN edge
+    vectors and its vector to the cloud centroid. Fuses the kNN + gather +
+    normalised-dot chain of PositionEncoding's angle branch; neighbour order
+    matches knn_pallas (ascending distance, first-index ties — the consumer
+    maxes over k, so order only matters for reproducibility)."""
+    B, N, C = points.shape
+    tile_n = min(tile_n, N)
+    centroid = points.mean(axis=1, keepdims=True)       # (B, 1, 3)
+    kern = functools.partial(_angle_kernel, k=k)
+    return pl.pallas_call(
+        kern,
+        grid=(B, pl.cdiv(N, tile_n)),
+        in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.float32),
+        interpret=interpret,
+    )(points.astype(jnp.float32), points.astype(jnp.float32),
+      centroid.astype(jnp.float32))
+
+
 def _nn1_kernel(src_ref, tgt_ref, d_ref, i_ref):
     q = src_ref[0]                        # (TN, 3)
     t = tgt_ref[0]                        # (M, 3)

@@ -44,3 +44,24 @@ def test_nn1_pallas_matches_min_argmin(rng):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
     np.testing.assert_allclose(np.asarray(d), np.asarray(jnp.min(dm, -1)),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_posenc_angles_matches_jnp():
+    """Fused angle kernel vs the jnp composition (interpreter mode), incl.
+    a padded tail tile."""
+    import jax.numpy as jnp
+
+    from ogmm_tpu.ops.common import gather_neighbors, knn, l2_normalize
+    from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
+
+    rs = np.random.RandomState(5)
+    B, N, k = 2, 90, 5
+    pts = jnp.asarray(rs.randn(B, N, 3).astype(np.float32) * 0.4)
+    centroid = pts.mean(axis=1, keepdims=True)
+    p2gc = pts - centroid
+    idx = knn(pts, pts, k)
+    p2lc = gather_neighbors(pts, idx) - pts[:, :, None, :]
+    ref = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc), l2_normalize(p2gc))
+    out = posenc_angles_pallas(pts, k=k, tile_n=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
