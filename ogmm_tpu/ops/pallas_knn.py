@@ -128,7 +128,7 @@ def _angle_kernel(xt_ref, xf_ref, c_ref, out_ref, *, k: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def posenc_angles_pallas(points: jnp.ndarray, k: int = 5,
-                         tile_n: int = 128,
+                         tile_n: int | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """(B, N, 3) -> (B, N, k) cos angles between each point's k-NN edge
     vectors and its vector to the cloud centroid. Fuses the kNN + gather +
@@ -136,7 +136,9 @@ def posenc_angles_pallas(points: jnp.ndarray, k: int = 5,
     matches knn_pallas (ascending distance, first-index ties — the consumer
     maxes over k, so order only matters for reproducibility)."""
     B, N, C = points.shape
-    tile_n = min(tile_n, N)
+    # full-height tiles measured fastest (0.85 vs 1.10 ms at tile 128,
+    # B=48 N=717): one d2 block per cloud amortises the 5 argmin scans
+    tile_n = min(tile_n or N, N)
     centroid = points.mean(axis=1, keepdims=True)       # (B, 1, 3)
     kern = functools.partial(_angle_kernel, k=k)
     return pl.pallas_call(
