@@ -116,8 +116,8 @@ class TransformerBlock(nn.Module):
     dtype: str | None = None
 
     @nn.compact
-    def __call__(self, src, tgt):
+    def __call__(self, src, tgt, train: bool = True):
         message = MultiHeadAttention(self.num_heads, self.feature_dim,
                                      self.dtype)(src, tgt, tgt)
         return PointMLP((self.feature_dim * 2, self.feature_dim), self.dtype)(
-            jnp.concatenate([src, message], axis=-1))
+            jnp.concatenate([src, message], axis=-1), train=train)

@@ -145,11 +145,11 @@ class GMMReg(nn.Module):
             feats = dgcnn(both, train)                          # (2B, N, D)
             anchor0 = index_points(feats, ids[0])
             t_all = feats + pos_enc(both, cfg.pos_k, train)
-            t_all = conv1(sattn1(t_all, anchor0) + t_all, train)
+            t_all = conv1(sattn1(t_all, anchor0, train) + t_all, train)
 
             anchor1 = index_points(t_all, ids[1])
             swapped = jnp.concatenate([anchor1[B:], anchor1[:B]], axis=0)
-            f_all = cattn(t_all, swapped) + t_all
+            f_all = cattn(t_all, swapped, train) + t_all
 
             src_f, tgt_f = f_all[:B], f_all[B:]
             sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
@@ -167,7 +167,7 @@ class GMMReg(nn.Module):
                 overlap(fo_all, train).astype(jnp.float32)).reshape(2 * B, N)
 
             anchor2 = index_points(f_all, ids[2])
-            f_all = (sattn2(f_all, anchor2) + f_all).astype(jnp.float32)
+            f_all = (sattn2(f_all, anchor2, train) + f_all).astype(jnp.float32)
 
             g_all, pi_all, n_all, nf_all = wkeans_plus(
                 both, f_all, o_all, cfg.n_clusters, iters=cfg.em_iters,
@@ -198,14 +198,14 @@ class GMMReg(nn.Module):
             tgt_t = tgt_feats + pos_enc(tgt, cfg.pos_k, train)
 
             # --- stage 1: anchor-conditioned self-attention ----------------
-            src_t = conv1(sattn1(src_t, src_anchor0) + src_t, train)
-            tgt_t = conv1(sattn1(tgt_t, tgt_anchor0) + tgt_t, train)
+            src_t = conv1(sattn1(src_t, src_anchor0, train) + src_t, train)
+            tgt_t = conv1(sattn1(tgt_t, tgt_anchor0, train) + tgt_t, train)
 
             # --- stage 2: cross-attention via anchors ----------------------
             src_anchor1 = index_points(src_t, src_ids[1])
             tgt_anchor1 = index_points(tgt_t, tgt_ids[1])
-            src_f = cattn(src_t, tgt_anchor1) + src_t
-            tgt_f = cattn(tgt_t, src_anchor1) + tgt_t
+            src_f = cattn(src_t, tgt_anchor1, train) + src_t
+            tgt_f = cattn(tgt_t, src_anchor1, train) + tgt_t
 
             # --- overlap head -----------------------------------------------
             # (reference models/gmmreg.py:74-89; note the reference weights
@@ -234,8 +234,8 @@ class GMMReg(nn.Module):
             tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
             # back to fp32: everything downstream is geometry (clustering
             # EM, cosine matching, Procrustes) + the contrastive loss
-            src_f = (sattn2(src_f, src_anchor2) + src_f).astype(jnp.float32)
-            tgt_f = (sattn2(tgt_f, tgt_anchor2) + tgt_f).astype(jnp.float32)
+            src_f = (sattn2(src_f, src_anchor2, train) + src_f).astype(jnp.float32)
+            tgt_f = (sattn2(tgt_f, tgt_anchor2, train) + tgt_f).astype(jnp.float32)
 
             # --- overlap-guided clustering (models/gmmreg.py:100-101) ------
             s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(

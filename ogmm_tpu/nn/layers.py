@@ -80,15 +80,44 @@ class PointMLP(nn.Module):
 
     InstanceNorm+ReLU on every layer but the last; final bias initialised to 0
     (reference models/attn.py:107).
+
+    Setup-style with `Dense_{i}` attribute names so the parameter tree is
+    identical to the previous nn.compact auto-naming (checkpoints and the
+    torch importer, compat.py, are unaffected): at eval on TPU the 2-layer
+    case dispatches to the fused Dense+IN+relu+Dense kernel
+    (ops/pallas_mlp.py) reading the SAME Dense parameters.
     """
     channels: Sequence[int]
     dtype: str | None = None
 
-    @nn.compact
-    def __call__(self, x):
-        n = len(self.channels)
+    def setup(self):
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, dtype=self.dtype)(x)
+            setattr(self, f'Dense_{i}', nn.Dense(ch, dtype=self.dtype))
+
+    # chip A/B 2026-08-17: the fused kernel ties XLA's composition (0.73 vs
+    # 0.70 ms at B=48) — XLA already pipelines this chain well. Kept opt-in
+    # for the record; parity test in tests/test_models.py.
+    fuse_eval: bool = False
+
+    def __call__(self, x, train: bool = True):
+        n = len(self.channels)
+        layers = [getattr(self, f'Dense_{i}') for i in range(n)]
+        fused = (self.fuse_eval and not train and n == 2
+                 and not self.is_initializing()
+                 and x.ndim == 3 and x.shape[1] <= 1024)
+        if fused:
+            from ogmm_tpu.ops.dispatch import use_pallas
+            fused = use_pallas()
+        if fused:
+            from ogmm_tpu.ops.pallas_mlp import pointmlp_eval_pallas
+            v1 = layers[0].variables['params']
+            v2 = layers[1].variables['params']
+            dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+            return pointmlp_eval_pallas(x.astype(dt), v1['kernel'],
+                                        v1['bias'], v2['kernel'], v2['bias'],
+                                        dtype=dt)
+        for i, layer in enumerate(layers):
+            x = layer(x)
             if i < n - 1:
                 x = instance_norm(x)
                 x = nn.relu(x)

@@ -203,3 +203,33 @@ def test_gmmreg_eval_stacked_matches_per_cloud(pair):
     for name, a, b in zip(names, out_s, out_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pointmlp_fused_eval_matches_naive():
+    """Opt-in fused Dense+IN+relu+Dense kernel (ops/pallas_mlp.py) vs the
+    jnp composition — exact in interpreter mode; the param tree keeps the
+    Dense_{i} names (checkpoint/torch-importer compatible)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ogmm_tpu.ops.pallas_mlp as pm
+    from ogmm_tpu.nn.layers import PointMLP
+    from ogmm_tpu.ops.dispatch import pallas_override
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 90, 64).astype(np.float32))
+    naive = PointMLP((128, 64))
+    v = naive.init(jax.random.PRNGKey(0), x)
+    assert set(v['params']) == {'Dense_0', 'Dense_1'}
+    ref = naive.apply(v, x, train=False)
+    orig = pm.pointmlp_eval_pallas
+    try:
+        pm.pointmlp_eval_pallas = functools.partial(orig, interpret=True)
+        with pallas_override(True):
+            out = PointMLP((128, 64), fuse_eval=True).apply(v, x, train=False)
+    finally:
+        pm.pointmlp_eval_pallas = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
