@@ -17,7 +17,9 @@ Timing protocol (round 2, see scripts/kernel_ab.py): over the axon tunnel a
 per-call Python loop measures the ~25-35 ms dispatch RTT and the output
 download, not the chip. Each measurement here is ONE dispatch — lax.scan
 over R stacked DISTINCT input pairs reduced to a scalar — with the no-op
-dispatch RTT subtracted; two alternating input stacks defeat dispatch dedup.
+dispatch RTT subtracted. Every TIMED dispatch uses a never-before-dispatched
+input stack (the tunnel can dedup repeated identical dispatches, and a
+min() over repeats would preferentially select a dedup-flattered rep).
 """
 import json
 import os
@@ -50,8 +52,9 @@ def main():
         return (jnp.asarray(rs.randn(R, B, N, 3).astype(np.float32) * 0.3),
                 jnp.asarray(rs.randn(R, B, N, 3).astype(np.float32) * 0.3))
 
-    xs1, xs2 = stack(), stack()
-    src, tgt = xs1[0][0], xs1[1][0]
+    warm_stack = stack()
+    fresh_stacks = [stack() for _ in range(3)]     # one per timed dispatch
+    src, tgt = warm_stack[0][0], warm_stack[1][0]
 
     model = GMMReg(cfg=cfg.model)
     variables = model.init({'params': jax.random.PRNGKey(0)}, src, tgt,
@@ -77,9 +80,9 @@ def main():
                             (srcs, tgts))[0]
 
     fwd = jax.jit(scanned)
-    np.asarray(fwd(*xs1))                       # compile + warm
+    np.asarray(fwd(*warm_stack))                # compile + warm
     ts = []
-    for xs in (xs2, xs1, xs2):
+    for xs in fresh_stacks:
         t0 = time.perf_counter()
         np.asarray(fwd(*xs))
         ts.append(time.perf_counter() - t0)

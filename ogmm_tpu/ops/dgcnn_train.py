@@ -24,9 +24,12 @@ Matching the naive path:
   * BN: eps 1e-5, biased variance, stats in fp32, normalisation in the
     compute dtype — identical formulas, so parameters/batch_stats trees and
     running-stat updates are interchangeable with the naive path.
-  * relu VJP at 0 passes half the cotangent (jnp.maximum semantics);
-    max-over-k VJP splits the cotangent evenly among ties — both match
-    jax.grad of the naive composition.
+  * relu VJP at 0 passes half the cotangent (jnp.maximum semantics,
+    matching jax.grad of the naive composition); the max-over-k VJP sends
+    tie cotangents to the FIRST maximal element (torch's max backward —
+    see _max_vjp and the PARITY.md divergence row) where jax's naive path
+    splits them evenly — identical off ties, which are measure-zero in
+    fp32 and absorbed by the bf16 test tolerances.
   * Reductions run in fp32; matmul cotangents are formed in the compute
     dtype with fp32 accumulation, like the forward einsums.
 

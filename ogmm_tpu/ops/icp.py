@@ -106,7 +106,8 @@ def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sin(theta)[..., None]
     c = jnp.cos(theta)[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
-    R = eye + s * K + (1.0 - c) * jnp.matmul(K, K)
+    R = eye + s * K + (1.0 - c) * jnp.matmul(
+        K, K, precision=jax.lax.Precision.HIGHEST)
     # below the small-angle floor the first-order map is exact to fp32
     return jnp.where(theta[..., None] > 1e-8, R, eye + K * theta[..., None])
 

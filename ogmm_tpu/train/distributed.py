@@ -93,8 +93,31 @@ def assemble_global_batch(batch, sharding,
     if n == 1:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
     global_b = next(iter(batch.values())).shape[0]
+    idx = jax.process_index() if process_index is None else process_index
+    # Contract check: slicing by process index is only correct when the
+    # sharding actually assigns this process the CONTIGUOUS row block
+    # [idx*per, (idx+1)*per). make_array_from_process_local_data places
+    # local_data into whatever rows this process's devices own — with a
+    # device mesh whose ordering interleaves processes, shapes still match
+    # and the batch would be silently permuted across hosts. Fail loudly
+    # instead (a custom mesh needs loader slicing derived from
+    # sharding.devices_indices_map, not process_index).
+    sample = next(iter(batch.values()))
+    imap = sharding.devices_indices_map((global_b,) + tuple(sample.shape[1:]))
+    per = global_b // n
+    owned = sorted(
+        {r for d, ix in imap.items() if d.process_index == idx
+         for r in range(*ix[0].indices(global_b))})
+    expected = list(range(idx * per, (idx + 1) * per))
+    if owned != expected:
+        raise NotImplementedError(
+            f"process {idx} owns rows {owned[:4]}..{owned[-1:]} under this "
+            f"sharding, not the contiguous block {expected[0]}..{expected[-1]}"
+            " assumed by per-host loader slicing; build the mesh with "
+            "process-contiguous device order or slice the loader by "
+            "sharding.devices_indices_map")
     local = shard_batch_for_process(batch, global_b, process_count=n,
-                                    process_index=process_index)
+                                    process_index=idx)
     import numpy as np
     return {
         k: jax.make_array_from_process_local_data(

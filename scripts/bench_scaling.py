@@ -50,10 +50,9 @@ def main():
             return jax.lax.scan(body, jnp.zeros(()), (a, b))[0]
 
         f = jax.jit(run)
-        s1, s2 = stack(1), stack(2)
-        np.asarray(f(*s1))
+        np.asarray(f(*stack(0)))               # compile + warm
         ts = []
-        for s in (s2, s1, s2):
+        for s in (stack(1), stack(2), stack(3)):   # fresh stack per timed rep
             t0 = time.perf_counter()
             np.asarray(f(*s))
             ts.append(time.perf_counter() - t0)

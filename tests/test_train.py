@@ -222,3 +222,24 @@ def test_stack_train_descends():
         state, metrics = step(state, dev)
         losses.append(float(np.asarray(metrics['loss'])[0]))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_assemble_global_batch_guards_row_ownership(setup):
+    """The multihost assembler slices the loader by process index, which is
+    only valid when the sharding gives each process its contiguous row
+    block. A mismatched device-order/process assignment must FAIL LOUDLY
+    (make_array_from_process_local_data would otherwise silently permute
+    rows across hosts): simulate by claiming 2 processes on a mesh whose
+    devices all belong to process 0."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ogmm_tpu.train.distributed import assemble_global_batch
+
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devices), ('dp',))
+    shard = NamedSharding(mesh, P('dp'))
+    batch = {'x': np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
+    with pytest.raises(NotImplementedError):
+        assemble_global_batch(batch, shard, process_count=2, process_index=1)
