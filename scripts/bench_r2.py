@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Round-2 chip measurements: restructured DGCNN kernel, FPS layout fix,
-full eval forward + train step. One process, one chip job (CLAUDE.md).
+"""Round-2 chip measurements (SUPERSEDED: wall-loop timing here measures
+the tunnel dispatch RTT, not the chip — use the scan protocol of
+scripts/kernel_ab.py / bench.py instead; kept for the historical record).
 
 Timing protocol: distinct pre-staged inputs per rep, pipelined loop, final
 np.asarray host fetch as the barrier.
