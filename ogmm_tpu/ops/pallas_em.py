@@ -125,6 +125,8 @@ def _em_kernel(xyz_ref, o_ref, nodes0_ref, gamma_ref, pi_ref, nodes_ref, *,
                     preferred_element_type=jnp.float32)      # (8, K)
                 return P * (q_t / jnp.maximum(c[0:1], 1e-38))
 
+            # (unroll=True measured 4.54 vs 4.35 ms at B=48 — the rolled
+            # loop is NOT issue-bound; keep it rolled)
             gamma = jax.lax.fori_loop(1, sk_iters, sk_direct, P0)
         else:
             def sk_body(_, uv):
