@@ -71,6 +71,15 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
+    def timed(fn, stacks, warm, r):
+        np.asarray(fn(*warm))                   # compile + warm (real fetch)
+        ts = []
+        for xs in stacks:
+            t0 = time.perf_counter()
+            np.asarray(fn(*xs))
+            ts.append(time.perf_counter() - t0)
+        return (min(ts) - rtt) / r
+
     def scanned(srcs, tgts):
         def body(c, st):
             s, t = st
@@ -79,15 +88,57 @@ def main():
         return jax.lax.scan(body, jnp.zeros((), jnp.float32),
                             (srcs, tgts))[0]
 
-    fwd = jax.jit(scanned)
-    np.asarray(fwd(*warm_stack))                # compile + warm
-    ts = []
-    for xs in fresh_stacks:
-        t0 = time.perf_counter()
-        np.asarray(fwd(*xs))
-        ts.append(time.perf_counter() - t0)
-    dt = (min(ts) - rtt) / R
-    pps = B / dt
+    pps = B / timed(jax.jit(scanned), fresh_stacks, warm_stack, R)
+
+    # --- secondary hot paths, regression-tracked in the same JSON line ----
+    # eval + batched on-device ICP refinement (is_test=True)
+    def scanned_icp(srcs, tgts):
+        def body(c, st):
+            s, t = st
+            rot, trans, *_ = model.apply(variables, s, t, train=False,
+                                         is_test=True)
+            return c + rot.astype(jnp.float32).sum(), None
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            (srcs, tgts))[0]
+
+    icp_stacks = [stack() for _ in range(3)]
+    pps_icp = B / timed(jax.jit(scanned_icp), icp_stacks, warm_stack, R)
+
+    # full train step (fwd+bwd+Adam+metrics, train/trainer.py) — state is
+    # the scan carry so the R steps chain like a real epoch
+    from ogmm_tpu.train.state import create_train_state
+    from ogmm_tpu.train.trainer import make_train_step
+    Rt = 8
+    eye34 = np.broadcast_to(np.eye(4, dtype=np.float32)[:3], (B, 3, 4))
+
+    def tstack():
+        return (jnp.asarray(rs.randn(Rt, B, N, 3).astype(np.float32) * 0.3),
+                jnp.asarray(rs.randn(Rt, B, N, 3).astype(np.float32) * 0.3))
+
+    def as_batch(s, t):
+        return {'src_xyz': s, 'tgt_xyz': t,
+                'src_overlap': jnp.ones((B, N), jnp.float32),
+                'tgt_overlap': jnp.ones((B, N), jnp.float32),
+                'transform_gt': jnp.asarray(eye34)}
+
+    tmodel, tstate, tx = create_train_state(
+        cfg, steps_per_epoch=100,
+        sample_batch={'src_xyz': np.asarray(warm_stack[0][0]),
+                      'tgt_xyz': np.asarray(warm_stack[1][0])})
+    step = make_train_step(tmodel, tx, cfg, jit=False)
+
+    def scanned_train(srcs, tgts):
+        def body(state, st):
+            s, t = st
+            state, metrics = step(state, as_batch(s, t))
+            return state, metrics['loss'][0]
+        _, losses = jax.lax.scan(body, tstate, (srcs, tgts))
+        return losses.sum()
+
+    warm_t = tstack()
+    t_stacks = [tstack() for _ in range(3)]
+    fn_t = jax.jit(lambda s, t: scanned_train(s, t))
+    pps_train = B / timed(fn_t, t_stacks, warm_t, Rt)
 
     baseline = FALLBACK_BASELINE_PPS
     here = os.path.dirname(os.path.abspath(__file__))
@@ -101,6 +152,8 @@ def main():
         "value": round(pps, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pps / baseline, 1) if baseline else None,
+        "eval_icp_pairs_per_sec": round(pps_icp, 1),
+        "train_step_pairs_per_sec": round(pps_train, 1),
     }
     print(json.dumps(result))
 

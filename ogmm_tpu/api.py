@@ -43,11 +43,38 @@ class Registrar:
 
     @classmethod
     def from_checkpoint(cls, model_path: str, cfg: Optional[Config] = None,
-                        name: str = "optim_model") -> "Registrar":
-        """Restore the best checkpoint written by the trainer."""
+                        name: str = "optim_model",
+                        model_name: str = "GMMReg",
+                        override_config: bool = False) -> "Registrar":
+        """Restore the best checkpoint written by the trainer.
+
+        The trainer saves the Config as JSON beside the checkpoint, so
+        `cfg=None` restores with the exact training-time architecture and
+        semantics (dtype, stack_eval, ...). Passing a cfg that DIFFERS from
+        the saved one raises — a silent mismatch would restore weights into
+        a semantically different model; set `override_config=True` to use
+        the passed cfg deliberately (e.g. to change eval-only knobs).
+        """
+        from ogmm_tpu.configs import config_to_dict
         from ogmm_tpu.train.checkpoint import CheckpointManager
         from ogmm_tpu.train.state import create_train_state
-        cfg = cfg if cfg is not None else mnet()
+        probe = CheckpointManager(model_path,
+                                  cfg.model_name if cfg else model_name)
+        saved = probe.load_config()
+        if cfg is None:
+            if saved is None:
+                raise FileNotFoundError(
+                    f"no config.json beside checkpoint under {model_path!r} "
+                    "(pre-r3 checkpoint?) — pass cfg= explicitly")
+            cfg = saved
+        elif (saved is not None and not override_config
+                and config_to_dict(saved) != config_to_dict(cfg)):
+            diff = [k for k in ("model", "data", "train", "model_name")
+                    if config_to_dict(saved).get(k) != config_to_dict(cfg).get(k)]
+            raise ValueError(
+                f"cfg mismatch vs the checkpoint's saved config (sections "
+                f"{diff}); pass cfg=None to use the saved one, or "
+                f"override_config=True to force yours")
         B, N = 1, cfg.data.n_points
         rs = np.random.RandomState(0)
         sample = {'src_xyz': rs.randn(B, N, 3).astype(np.float32),

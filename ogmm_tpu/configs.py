@@ -49,6 +49,11 @@ class ModelConfig:
     # math/params/stats as the naive composition, hand-scheduled fwd/bwd
     # Pallas kernels. None = DGCNN's auto rule; True/False force it.
     dgcnn_fused_train: bool | None = None
+    # overlap head: stream the (N, M) similarity softmax (flash-style online
+    # softmax, ops/pallas_stream.py:wproject_stream) instead of materialising
+    # it. None = auto by size (B*N*M > 64Mi elements — the indoor ~35k regime
+    # where the dense matrix would be ~4.9 GB, models/gmmreg.py:74-89).
+    overlap_stream: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +90,12 @@ class TrainConfig:
     mu: float = 10.0            # Welsch alpha (cfgs.py:41)
     n_keypoints: int = 512      # Welsch top-k (cfgs.py:44)
     save_every: int = 50        # periodic checkpoint (train.py:97-99)
+    # run the full dcp_metrics suite (2 chamfer 1-NN sweeps + pcab) every
+    # k-th train step, loss-only otherwise. The reference computes them on
+    # CPU every step (train.py:80-89) and only the epoch summary consumes
+    # them; 1 = reference-faithful per-step metrics, >1 trims the measured
+    # ~22% train-step tail (profiles/r2/PROFILE.md). Eval is never thinned.
+    metrics_every: int = 1
     model_path: str = "checkpoints"
     # TPU execution
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh; -1 = all devices
@@ -101,6 +112,30 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+def config_to_dict(cfg: Config) -> dict:
+    """JSON-serialisable dict of the full config (round-trips through
+    `config_from_dict`; persisted beside every checkpoint)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Rebuild a Config from `config_to_dict` output (JSON turns the tuple
+    fields into lists — cast back)."""
+    def detuple(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    def build(cls, sub):
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: detuple(v) for k, v in sub.items() if k in known})
+
+    return Config(
+        model=build(ModelConfig, d["model"]),
+        data=build(DataConfig, d["data"]),
+        train=build(TrainConfig, d["train"]),
+        model_name=d.get("model_name", "GMMReg"),
+    )
 
 
 def mnet(**overrides) -> Config:

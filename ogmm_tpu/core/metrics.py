@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ogmm_tpu.core import se3
-from ogmm_tpu.ops.common import square_distance
+from ogmm_tpu.ops.common import nn1
 
 
 def rotation_error(rot1: jnp.ndarray, rot2: jnp.ndarray) -> jnp.ndarray:
@@ -61,22 +61,16 @@ def dcp_metrics(src, tgt, rot_gt, trans_gt, rot_pred, trans_pred,
     err_r_deg = jnp.arccos(jnp.clip(0.5 * (rot_trace - 1.0), -1.0, 1.0)) * (180.0 / jnp.pi)
     err_t = jnp.linalg.norm(residual[:, :, 3], axis=-1)
 
-    # Chamfer distances (lib/metric.py:214-230). On TPU the NN mins run as
-    # the fused 1-NN kernel — no (B, N, M) matrices in HBM (these metrics
-    # ride along with every train step).
+    # Chamfer distances (lib/metric.py:214-230). The NN mins run through the
+    # single 1-NN dispatch point (ops/common.py:nn1): fused / M-streamed
+    # Pallas kernels on TPU, dense or chunked jnp elsewhere — no oversized
+    # (B, N, M) matrices in HBM at any operating point (these metrics ride
+    # along with every train step, and at the indoor shape M ~ 35k).
     src_pred = se3.transform(pred_pose, src)
     src_gt = se3.transform(gt_pose, src)
-    from ogmm_tpu.ops.dispatch import use_pallas as _auto
-    if _auto() and tgt.shape[1] <= 8192:
-        from ogmm_tpu.ops.pallas_knn import nn1_pallas
-        dist_src = nn1_pallas(src_pred, tgt)[0]
-        dist_ref = nn1_pallas(tgt, src_pred)[0]
-        pcab = nn1_pallas(src_pred, src_gt)[0].mean(axis=1)
-    else:
-        d_src_tgt = square_distance(src_pred, tgt)          # (B, N, M)
-        dist_src = jnp.min(d_src_tgt, axis=-1)
-        dist_ref = jnp.min(d_src_tgt, axis=-2)
-        pcab = jnp.min(square_distance(src_pred, src_gt), axis=-1).mean(axis=1)
+    dist_src = nn1(src_pred, tgt)[0]
+    dist_ref = nn1(tgt, src_pred)[0]
+    pcab = nn1(src_pred, src_gt)[0].mean(axis=1)
     chamfer = dist_src.mean(axis=1) + dist_ref.mean(axis=1)
     clip = 0.1
     clip_chamfer = (jnp.minimum(jnp.sqrt(dist_src), clip).mean(axis=1)

@@ -286,28 +286,47 @@ def mutual_selection(score_mat: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def knn_idx(pts: np.ndarray, k: int) -> np.ndarray:
-    kdt = cKDTree(pts)
-    _, idx = kdt.query(pts, k=k + 1)
-    return idx[:, 1:]
+    """Each point's k nearest neighbours, self excluded, via the host-side
+    cKDTree this data layer already uses for overlap labels. (N,) -> (N, k)."""
+    _, nbr = cKDTree(pts).query(pts, k=k + 1)
+    return nbr[:, 1:]                 # column 0 is the query point itself
 
 
 def get_rri(pts: np.ndarray, k: int) -> np.ndarray:
-    q = pts[knn_idx(pts, k)]
-    p = np.repeat(pts[:, None], k, axis=1)
-    rp = np.linalg.norm(p, axis=-1, keepdims=True)
-    rq = np.linalg.norm(q, axis=-1, keepdims=True)
-    pn = p / rp
-    qn = q / rq
-    dot = np.sum(pn * qn, -1, keepdims=True)
-    theta = np.arccos(np.clip(dot, -1, 1))
-    T_q = q - dot * p
-    sin_psi = np.sum(np.cross(T_q[:, None], T_q[:, :, None]) * pn[:, None], -1)
-    cos_psi = np.sum(T_q[:, None] * T_q[:, :, None], -1)
-    psi = np.arctan2(sin_psi, cos_psi) % (2 * np.pi)
-    idx = np.argpartition(psi, 1)[:, :, 1:2]
-    phi = np.take_along_axis(psi, idx, axis=-1)
-    feat = np.concatenate([rp, rq, theta, phi], axis=-1)
-    return feat.reshape(-1, k * 4)
+    """Rotation-invariant relative-position features, (N, 3) -> (N, 4k).
+
+    Per point p with neighbours q_1..q_k, emits [|p|, |q_j|, theta_j, phi_j]
+    where theta_j is the p/q_j angle and phi_j the azimuthal gap from q_j to
+    its nearest other neighbour around the p axis — all invariant under a
+    global rotation. Numerically equivalent to the reference
+    (datasets/datautils.py:168-189, consumed only by ModelNetGMR; parity
+    tested against the reference in tests/test_reference_parity.py),
+    including its transverse-component convention t_j = q_j - cos(theta_j) p
+    (the full vector p, not the unit projection).
+    """
+    nbrs = pts[knn_idx(pts, k)]                          # (N, k, 3)
+    r_p = np.linalg.norm(pts, axis=-1)                   # (N,)
+    r_q = np.linalg.norm(nbrs, axis=-1)                  # (N, k)
+    p_hat = pts / r_p[:, None]
+    q_hat = nbrs / r_q[..., None]
+    cos_theta = np.clip(np.einsum('nkc,nc->nk', q_hat, p_hat), -1.0, 1.0)
+    theta = np.arccos(cos_theta)
+
+    # azimuth of neighbour a seen from neighbour b around p_hat, from the
+    # transverse components: psi_ab = atan2(p_hat . (t_b x t_a), t_b . t_a)
+    # wrapped to [0, 2pi)
+    t = nbrs - cos_theta[..., None] * pts[:, None, :]    # (N, k, 3)
+    sin_psi = np.einsum('nabc,nc->nab',
+                        np.cross(t[:, None, :, :], t[:, :, None, :]), p_hat)
+    cos_psi = np.einsum('nac,nbc->nab', t, t)
+    psi = np.arctan2(sin_psi, cos_psi) % (2.0 * np.pi)
+    # psi[a, a] == 0 by construction, so the gap to the azimuthally nearest
+    # OTHER neighbour is each row's second-smallest entry
+    phi = np.partition(psi, 1, axis=-1)[:, :, 1]
+
+    feats = np.stack([np.broadcast_to(r_p[:, None], r_q.shape),
+                      r_q, theta, phi], axis=-1)         # (N, k, 4)
+    return feats.reshape(len(pts), 4 * k)
 
 
 # --------------------------------------------------------------------------

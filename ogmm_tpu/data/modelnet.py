@@ -114,13 +114,21 @@ class ModelNetHdf:
     """Primary ModelNet40 dataset (reference datasets/modelnet.py:293-351).
 
     Split quirk preserved: test-unseen keeps labels >= 20, every other
-    combination keeps labels < 20 (reference lines 315-320).
+    combination keeps labels < 20 (reference lines 315-320). `category`
+    restricts to a single class id BEFORE the split (reference lines
+    308-310 — NB the reference's own filter is dead code: its double-load
+    bug at line 314 reloads `self.data` unfiltered, so a category-filtered
+    mask no longer matches; here the filter actually works, applied to the
+    single load, consistent with the conscious double-load fix).
     """
 
     def __init__(self, root: str, unseen: bool = False, transform=None,
-                 partition: str = 'train'):
+                 partition: str = 'train', category: int | None = None):
         data, label = _load_source(root, partition)
         label = label.squeeze()
+        if category is not None:
+            data = data[label == category]
+            label = label[label == category]
         if unseen and partition == 'test':
             keep = label >= 20
         else:

@@ -122,18 +122,21 @@ def welsch_loss(src, tgt, tsfm, src_o=None, tgt_o=None,
     else:
         src_corr, tgt_corr = src, tgt
     a2 = alpha * alpha
+    from ogmm_tpu.ops import common as _common
     from ogmm_tpu.ops.dispatch import use_pallas as _auto
-    if _auto() and max(src.shape[1], tgt.shape[1]) <= 8192:
-        # fused 1-NN for the index, distance recomputed differentiably: the
-        # value AND gradient equal min-over-matrix (the min picks the NN and
+    if (_auto() or src.shape[0] * src.shape[1] * tgt.shape[1]
+            > _common._DENSE_ELEMS):
+        # 1-NN (fused / M-streamed kernel or chunked jnp, ops/common.py:nn1)
+        # for the index, distance recomputed differentiably: the value AND
+        # gradient equal min-over-matrix (the min picks the NN and
         # grad-through-min flows into exactly that pair), without the
         # (B, top_k, N) matrix or its backward pass
-        from ogmm_tpu.ops.pallas_knn import nn1_pallas
+        from ogmm_tpu.ops.common import nn1
         sg = jax.lax.stop_gradient
-        i1 = nn1_pallas(sg(src_corr), sg(tgt))[1]
+        i1 = nn1(sg(src_corr), sg(tgt))[1]
         z1sq = jnp.sum((src_corr - jnp.take_along_axis(
             tgt, i1[..., None], axis=1)) ** 2, axis=-1)
-        i2 = nn1_pallas(sg(tgt_corr), sg(src))[1]
+        i2 = nn1(sg(tgt_corr), sg(src))[1]
         z2sq = jnp.sum((tgt_corr - jnp.take_along_axis(
             src, i2[..., None], axis=1)) ** 2, axis=-1)
     else:

@@ -116,6 +116,15 @@ class DGCNN(nn.Module):
             # the bench shape (graph_stage1 kernel replaces kNN + edge
             # gather); CPU keeps the naive composition.
             fused_train = x.shape[1] <= 1024 and _auto()
+        elif fused_train and self.bn_axis_name is not None:
+            # an explicit force must not silently measure the naive path
+            # (ADVICE r2): the fused custom-VJP path computes BN moments
+            # inside the kernel and cannot cross-replica pmean them
+            raise ValueError(
+                "dgcnn_fused_train=True is incompatible with "
+                "bn_axis_name (sync-BN): the fused path cannot pmean its "
+                "batch moments. Leave fused_train=None (auto) or unset "
+                "bn_axis_name.")
         if (train and fused_train and not self.is_initializing()
                 and self.bn_axis_name is None):
             from ogmm_tpu.ops.dgcnn_train import dgcnn_train_fused

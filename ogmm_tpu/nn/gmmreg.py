@@ -39,6 +39,23 @@ from ogmm_tpu.ops.icp import icp_point_to_point
 from ogmm_tpu.ops.sinkhorn import sinkhorn
 
 
+def _overlap_wproject(a_fn, b_fn, a_o, b_o):
+    """Both directions of the overlap head's similarity-weighted projection
+    WITHOUT materialising the (N, M) similarity matrix (reference
+    models/gmmreg.py:81-84). Inputs are l2-normalised features (B,N,D) /
+    (B,M,D) and raw scores (B,N,1)/(B,M,1); returns (a_wo, b_wo), both f32.
+
+    Preserves the reference's axis quirk exactly: direction 2 weights the
+    SOURCE-axis-indexed scores by the column softmax (requires N == M).
+    """
+    from ogmm_tpu.ops.dispatch import use_pallas as _auto
+    if _auto():
+        from ogmm_tpu.ops.pallas_stream import wproject_stream as _wp
+    else:
+        from ogmm_tpu.ops.pallas_stream import wproject_chunked as _wp
+    return _wp(a_fn, b_fn, a_o), _wp(b_fn, a_fn, b_o)
+
+
 def gmm_svd(src_nodes, tgt_nodes, src_desc, tgt_desc, src_pi, tgt_pi,
             is_sk: bool = False, softmax_temp: float = 0.05):
     """Match two GMMs by feature similarity and solve the rigid transform.
@@ -90,6 +107,15 @@ class GMMReg(nn.Module):
         # compute dtype for the network body; geometry (kNN, FPS, clustering,
         # Procrustes, ICP) always runs fp32
         dt = None if cfg.dtype in (None, "float32") else cfg.dtype
+
+        # overlap head: materialise the (B, N, M) similarity (ModelNet-scale)
+        # or stream its softmax online (indoor ~35k: the dense matrix would
+        # be ~4.9 GB at B=1). NB the streamed Pallas path has no backward —
+        # training at streaming scale needs the chunked fallback (CPU) and
+        # is outside the reference's demonstrated envelope anyway.
+        stream_overlap = cfg.overlap_stream
+        if stream_overlap is None:
+            stream_overlap = B * N * M > 2 ** 26
 
         dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
                       fused_train=cfg.dgcnn_fused_train)
@@ -152,14 +178,19 @@ class GMMReg(nn.Module):
             f_all = cattn(t_all, swapped, train) + t_all
 
             src_f, tgt_f = f_all[:B], f_all[B:]
-            sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
-                             preferred_element_type=jnp.float32)
             o_all = proj(f_all, train)                          # (2B, N, 1)
             src_o, tgt_o = o_all[:B], o_all[B:]
-            src_wo = jnp.einsum('bnm,bmd->bnd',
-                                jax.nn.softmax(sim, axis=-1), src_o)
-            tgt_wo = jnp.einsum('bnm,bnd->bmd',
-                                jax.nn.softmax(sim, axis=1), tgt_o)
+            if stream_overlap:
+                fn_all = norm32(f_all)
+                src_wo, tgt_wo = _overlap_wproject(
+                    fn_all[:B], fn_all[B:], src_o, tgt_o)
+            else:
+                sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
+                                 preferred_element_type=jnp.float32)
+                src_wo = jnp.einsum('bnm,bmd->bnd',
+                                    jax.nn.softmax(sim, axis=-1), src_o)
+                tgt_wo = jnp.einsum('bnm,bnd->bmd',
+                                    jax.nn.softmax(sim, axis=1), tgt_o)
             wo_all = jnp.concatenate([src_wo, tgt_wo], axis=0)
             fo_all = conv2(jnp.concatenate([f_all, wo_all, o_all], axis=-1),
                            train)
@@ -211,14 +242,18 @@ class GMMReg(nn.Module):
             # (reference models/gmmreg.py:74-89; note the reference weights
             # the *source* scores by src_o gathered along the target axis — a
             # quirk that requires N == M and is preserved bit-for-bit here)
-            sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
-                             preferred_element_type=jnp.float32)  # (B, N, M)
             src_o = proj(src_f, train)                         # (B, N, 1)
             tgt_o = proj(tgt_f, train)
-            src_wo = jnp.einsum('bnm,bmd->bnd',
-                                jax.nn.softmax(sim, axis=-1), src_o)
-            tgt_wo = jnp.einsum('bnm,bnd->bmd',
-                                jax.nn.softmax(sim, axis=1), tgt_o)
+            if stream_overlap:
+                src_wo, tgt_wo = _overlap_wproject(
+                    norm32(src_f), norm32(tgt_f), src_o, tgt_o)
+            else:
+                sim = jnp.einsum('bnd,bmd->bnm', norm32(src_f), norm32(tgt_f),
+                                 preferred_element_type=jnp.float32)  # (B, N, M)
+                src_wo = jnp.einsum('bnm,bmd->bnd',
+                                    jax.nn.softmax(sim, axis=-1), src_o)
+                tgt_wo = jnp.einsum('bnm,bnd->bmd',
+                                    jax.nn.softmax(sim, axis=1), tgt_o)
             src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1),
                            train)
             tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1),

@@ -1,6 +1,6 @@
 from ogmm_tpu.ops.common import (cdist, cos_distance, cos_similarity,
                                  gather_neighbors, graph_feature, index_points,
-                                 knn, l2_normalize, square_distance)
+                                 knn, l2_normalize, nn1, square_distance)
 from ogmm_tpu.ops.fps import farthest_point_sample
 from ogmm_tpu.ops.gmm import (get_anchor_corrs, get_local_corrs, gmm_params,
                               og_params, wkeans, wkeans_plus)
@@ -10,7 +10,8 @@ from ogmm_tpu.ops.sinkhorn import contrastsk, log_boltzmann_kernel, sinkhorn
 
 __all__ = [
     "cdist", "cos_distance", "cos_similarity", "gather_neighbors",
-    "graph_feature", "index_points", "knn", "l2_normalize", "square_distance",
+    "graph_feature", "index_points", "knn", "l2_normalize", "nn1",
+    "square_distance",
     "farthest_point_sample", "get_anchor_corrs", "get_local_corrs",
     "gmm_params", "og_params", "wkeans", "wkeans_plus", "icp_point_to_point",
     "icp_point_to_plane", "estimate_normals_knn",

@@ -14,6 +14,53 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Dispatch envelopes (see `nn1`/`knn` routing below):
+#  * whole-M-resident Pallas kernels (ops/pallas_knn.py) hold a
+#    (tile_n, M) f32 distance block plus an i32 iota in VMEM — validated on
+#    chip to M=4096 (~4 MB); beyond that the M-streamed kernels
+#    (ops/pallas_stream.py) carry running reductions in scratch instead.
+#  * the dense jnp path materialises B*N*M f32 in HBM; beyond _DENSE_ELEMS
+#    elements the chunked lax.map fallbacks bound peak HBM at (B, chunk, M).
+_PALLAS_FULL_M = 4096
+_DENSE_ELEMS = 2 ** 26          # 64 Mi elements = 256 MB f32
+
+
+def nn1(src: jnp.ndarray, tgt: jnp.ndarray,
+        prefer_dense: bool = False,
+        use_pallas: bool | None = None):
+    """Nearest neighbour: (B,N,C) x (B,M,C) -> (min_sqdist (B,N), idx (B,N)).
+
+    The single dispatch point for every 1-NN consumer (ICP, chamfer/pcab
+    metrics, Welsch loss, get_local_corrs) — TPU picks the fused Pallas
+    kernel (whole-M-resident at M <= 4096, M-streamed above), other backends
+    the dense matrix at B*N*M <= 64Mi elements and the chunked lax.map
+    fallback beyond.
+
+    `prefer_dense=True` keeps the XLA dense path up to M=1024 even on TPU —
+    the measured winner for callers that loop the op inside one program
+    (ICP's 30 trips: 30 kernel dispatches of glue cost more than the HBM
+    matrix at M=717, see ops/icp.py).
+    """
+    B, N, _ = src.shape
+    M = tgt.shape[1]
+    if use_pallas is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        use_pallas = _auto()
+    if use_pallas:
+        if prefer_dense and M <= 1024:
+            pass                                     # dense XLA below
+        elif M <= _PALLAS_FULL_M:
+            from ogmm_tpu.ops.pallas_knn import nn1_pallas
+            return nn1_pallas(src, tgt)
+        else:
+            from ogmm_tpu.ops.pallas_stream import nn1_stream
+            return nn1_stream(src, tgt)
+    if B * N * M > _DENSE_ELEMS:
+        from ogmm_tpu.ops.pallas_stream import nn1_chunked
+        return nn1_chunked(src, tgt)
+    d = square_distance(src, tgt)
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
 
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
                     normalize: bool = False) -> jnp.ndarray:
@@ -45,16 +92,26 @@ def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     Reference: lib/utils.py:37-44.
 
     On TPU the euclidean path runs as a tiled Pallas kernel that never
-    materialises the (B, N, M) distance matrix in HBM (ops/pallas_knn.py);
-    `use_pallas=None` auto-selects by backend.
+    materialises the (B, N, M) distance matrix in HBM — whole-M-resident at
+    M <= 4096 (ops/pallas_knn.py), M-streamed with a running top-k carry
+    above (ops/pallas_stream.py, the indoor N~35k regime). Non-TPU backends
+    use the dense matrix while it fits (B*N*M <= 64Mi elements) and a
+    chunked lax.map beyond. `use_pallas=None` auto-selects by backend.
     """
+    B, N, _ = src.shape
+    M = tgt.shape[1]
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        # VMEM bound: the kernel holds a (tile, M) f32 distance block
-        use_pallas = (not normalize) and tgt.shape[1] <= 8192 and _auto()
+        use_pallas = (not normalize) and _auto()
     if use_pallas and not normalize:
-        from ogmm_tpu.ops.pallas_knn import knn_pallas
-        return knn_pallas(src, tgt, k)
+        if M <= _PALLAS_FULL_M:
+            from ogmm_tpu.ops.pallas_knn import knn_pallas
+            return knn_pallas(src, tgt, k)
+        from ogmm_tpu.ops.pallas_stream import knn_stream
+        return knn_stream(src, tgt, k)
+    if not normalize and B * N * M > _DENSE_ELEMS:
+        from ogmm_tpu.ops.pallas_stream import knn_chunked
+        return knn_chunked(src, tgt, k)
     dist = square_distance(src, tgt, normalize)
     _, idx = jax.lax.top_k(-dist, k)  # top_k is sorted descending => ascending distance
     return idx

@@ -147,9 +147,15 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
 
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        # VMEM bound: the kernel keeps the per-item (N, K) block resident
+        # VMEM bound, measured on chip (r3): the kernel keeps ~5 (N, K)
+        # blocks resident and Mosaic pads the K lane dim to 128, so the
+        # real footprint is N * max(K, 128) * 4 * 5 bytes regardless of a
+        # small K (N=8192, K=16 allocated 20.0 MB > the 16 MB scoped VMEM
+        # limit under the old N*K rule). Beyond the bound the jnp scan is
+        # fine: at indoor scale the (B, N, K<=16) blocks are small in HBM.
         B, N, _ = xyz.shape
-        use_pallas = N * n_clusters * 4 <= 6 * 2 ** 20 and _auto()
+        use_pallas = (N * max(n_clusters, 128) * 4 * 5 <= 14 * 2 ** 20
+                      and _auto())
     if use_pallas:
         from ogmm_tpu.ops.pallas_em import sinkhorn_em
         gamma, pi, node_xyz = sinkhorn_em(xyz_sg, o, node_xyz0,
@@ -168,16 +174,12 @@ def get_local_corrs(xyz: jnp.ndarray, xyz_mu: jnp.ndarray,
     """Features of the point nearest to each cluster mean.
 
     xyz (B,N,3), xyz_mu (B,J,3), feats (B,N,C) -> (B,J,C).
-    Reference: lib/utils.py:244-254. On TPU the argmin runs as the fused
-    1-NN kernel (no (B, J, N) matrix in HBM).
+    Reference: lib/utils.py:244-254. The argmin runs through the single 1-NN
+    dispatch point (ops/common.py:nn1 — fused/streamed kernel on TPU, dense
+    or chunked jnp elsewhere; argmin over squared == argmin over cdist).
     """
-    from ogmm_tpu.ops.dispatch import use_pallas as _auto
-    if _auto() and xyz.shape[1] <= 8192:
-        from ogmm_tpu.ops.pallas_knn import nn1_pallas
-        idx = nn1_pallas(xyz_mu, xyz)[1]              # (B, J)
-    else:
-        dis = square_distance(xyz_mu, xyz)       # (B, J, N); argmin == cdist argmin
-        idx = jnp.argmin(dis, axis=-1).astype(jnp.int32)  # (B, J)
+    from ogmm_tpu.ops.common import nn1
+    idx = nn1(xyz_mu, xyz)[1]                    # (B, J)
     return index_points(feats, idx)
 
 

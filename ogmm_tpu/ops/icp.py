@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ogmm_tpu.core import se3
 from ogmm_tpu.core.procrustes import rigid_transform
-from ogmm_tpu.ops.common import square_distance
+from ogmm_tpu.ops.common import gather_neighbors, knn, nn1
 
 
 @partial(jax.jit, static_argnames=("max_iter", "method", "use_pallas"))
@@ -49,14 +49,6 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     thresh_sq = threshold * threshold
     rot0 = init_pose[..., :3, :3]
     t0 = init_pose[..., :3, 3]
-    if use_pallas is None:
-        from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        # At M <= 1024 XLA's fused (B, N, M) path wins (5.7 vs 9.5 ms for
-        # 30 trips at the bench shape — 30 kernel dispatches of glue cost
-        # more than the HBM matrix); the 1-NN kernel pays off once the
-        # distance matrix outgrows HBM-friendly sizes. VMEM bound: the
-        # kernel holds a (tile, M) f32 block.
-        use_pallas = 1024 < tgt.shape[1] <= 8192 and _auto()
 
     # NB: a whole-loop fused kernel exists (ops/pallas_icp.py, interpreter
     # parity in tests/test_icp.py) but measured 13.0 ms vs 5.6 ms for this
@@ -68,14 +60,12 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
                            precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        if use_pallas:
-            # fused min/argmin — the (B, N, M) matrix never hits HBM
-            from ogmm_tpu.ops.pallas_knn import nn1_pallas
-            nn_d, nn_i = nn1_pallas(moved, tgt)
-        else:
-            d = square_distance(moved, tgt)              # (B, N, M)
-            nn_d = jnp.min(d, axis=-1)
-            nn_i = jnp.argmin(d, axis=-1).astype(jnp.int32)  # (B, N)
+        # prefer_dense: over 30 scan trips XLA's fused (B, N, M) path wins at
+        # M <= 1024 (5.7 vs 9.5 ms at the bench shape — per-trip kernel glue
+        # costs more than the HBM matrix); larger M routes to the fused /
+        # M-streamed 1-NN kernels (ops/common.py:nn1)
+        nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
+                         use_pallas=use_pallas)
         corr = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)  # (B, N, 3)
         w = (nn_d < thresh_sq).astype(src.dtype)         # inlier gate
         # guard: if no inliers, keep previous transform via weight-all fallback
@@ -118,9 +108,8 @@ def estimate_normals_knn(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     neighbourhood, on device (the reference runs Open3D's C++ estimator on
     the host, lib/o3dutils.py:178-181). Sign is arbitrary — point-to-plane
     residuals are sign-invariant under the normal equations."""
-    d = square_distance(points, points)                         # (B, N, N)
-    _, idx = jax.lax.top_k(-d, k)                               # (B, N, k)
-    nbrs = jnp.take_along_axis(points[:, None], idx[..., None], axis=2)
+    idx = knn(points, points, k)                                # (B, N, k)
+    nbrs = gather_neighbors(points, idx)                        # (B, N, k, 3)
     centered = nbrs - nbrs.mean(axis=2, keepdims=True)          # (B, N, k, 3)
     cov = jnp.einsum('bnkc,bnkd->bncd', centered, centered,
                      precision=jax.lax.Precision.HIGHEST)
@@ -153,22 +142,14 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
     t0 = init_pose[..., :3, 3]
     if tgt_normals is None:
         tgt_normals = estimate_normals_knn(tgt, k=normal_k)
-    if use_pallas is None:
-        from ogmm_tpu.ops.dispatch import use_pallas as _auto
-        # same crossover as icp_point_to_point: XLA wins at M <= 1024
-        use_pallas = 1024 < tgt.shape[1] <= 8192 and _auto()
 
     def body(carry, _):
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
                            precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        if use_pallas:
-            from ogmm_tpu.ops.pallas_knn import nn1_pallas
-            nn_d, nn_i = nn1_pallas(moved, tgt)
-        else:
-            d = square_distance(moved, tgt)
-            nn_d = jnp.min(d, axis=-1)
-            nn_i = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        # same crossover as icp_point_to_point (ops/common.py:nn1)
+        nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
+                         use_pallas=use_pallas)
         q = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)       # (B,N,3)
         n = jnp.take_along_axis(tgt_normals, nn_i[..., None], axis=1)
         w = (nn_d < thresh_sq).astype(src.dtype)

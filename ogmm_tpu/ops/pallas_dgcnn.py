@@ -78,12 +78,17 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     # HIGHEST path costs 3 MXU passes and was the kernel's largest cost at
     # 20 passes/tile); fp32 mode keeps the fp32 gather.
     tc = t.astype(dt)
+    # fp32 mode keeps the fp32 gather: without HIGHEST the default-precision
+    # f32 dot_general feeds the MXU bf16 operands and rounds the gathered
+    # coordinates (ADVICE r2); bf16 mode is exact at default precision
+    gather_prec = _HI if dt == jnp.float32 else None
     edges = []
     for _ in range(k):
         am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
         hit = col == am[:, None]                             # (TN, N)
         onehot = hit.astype(dt)
         nbr = jax.lax.dot_general(onehot, tc, (((1,), (0,)), ((), ())),
+                                  precision=gather_prec,
                                   preferred_element_type=jnp.float32)
         edges.append(jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1))
         d2 = jnp.where(hit, jnp.inf, d2)

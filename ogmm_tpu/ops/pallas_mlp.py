@@ -34,9 +34,13 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, dtype):
     w2 = w2_ref[:].astype(dt)                    # (H, Cout)
     b2 = b2_ref[0].astype(dt)
 
+    # round the Dense output to the compute dtype BEFORE the IN statistics —
+    # nn.Dense(dtype=bf16) emits bf16 and nn/layers.py:instance_norm takes
+    # its fp32 moments over those rounded values; stats on the unrounded f32
+    # accumulator would be a semantic divergence, not just dtype noise
     z = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (N, H) f32
-    z = z + b1.astype(jnp.float32)[None]
+    z = (z.astype(dt) + b1[None]).astype(jnp.float32)
 
     # InstanceNorm over N (fp32 two-pass): reductions over the sublane axis
     # ride the MXU as ones-matmuls

@@ -1,0 +1,372 @@
+"""Target-axis-streamed kernels for the indoor large-N regime (N ~ 35,000).
+
+The fixed-shape kernels in ops/pallas_knn.py hold a full (tile_n, M) distance
+block with the whole (M, 3) target resident in VMEM — fine at the ModelNet
+geometry (M = 717), impossible at the indoor operating point
+(reference configs/cfgs.py:77 n_points=50000, datasets/realdata.py:114-119
+crop/FPS to ~35,000 points into the SAME network at eval batch 1): a
+(128, 35000) f32 block alone is ~17.9 MB > 16 MB VMEM, and the jnp fallback
+would materialise a 4.9 GB (N, M) matrix in HBM.
+
+This module streams the TARGET axis instead: grid (B, n_tiles, m_tiles) with
+the m axis innermost-sequential, carrying running reductions in VMEM scratch
+that persists across m-tiles of the same query tile —
+
+  * nn1_stream:     running (min, argmin) carry            -> 1-NN
+  * knn_stream:     running sorted top-k carry, merged with
+                    each block's top-k by masked argmin-extraction
+  * wproject_stream: flash-attention-style online softmax
+                    (running max / running sum / rescaled accumulator) for
+                    the overlap head's softmax-weighted score projection
+                    (models/gmmreg.py:74-89) — the (N, M) similarity matrix
+                    never exists anywhere
+
+plus `*_chunked` jnp fallbacks (lax.map over query chunks) that bound HBM at
+(B, chunk, M) for non-TPU backends and serve as the numerical reference for
+the interpreter-mode parity tests (tests/test_pallas_stream.py).
+
+Mosaic rules observed (CLAUDE.md): iota is integer dtype; no dynamic
+lane-dim stores (masked selects); padded tail tiles masked with where-selects
+on every operand feeding a reduction; float compares in f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dist_block(q, t, valid_cols):
+    """Masked squared-distance block (TN, TM), fp32 HIGHEST, invalid -> +inf.
+
+    Matches ops/common.py:square_distance (1e-12 clamp) so streamed results
+    are bit-comparable with the dense path.
+    """
+    inner = jax.lax.dot_general(q, t, (((1,), (1,)), ((), ())),
+                                precision=_HI,
+                                preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(q * q, axis=-1, keepdims=True)
+          + jnp.sum(t * t, axis=-1)[None, :] - 2.0 * inner)
+    d2 = jnp.maximum(d2, 1e-12)
+    return jnp.where(valid_cols, d2, jnp.inf)
+
+
+# --------------------------------------------------------------------------
+# 1-NN: running (min, argmin)
+# --------------------------------------------------------------------------
+
+def _nn1_stream_kernel(src_ref, tgt_ref, d_ref, i_ref, bd, bi,
+                       *, tile_m: int, n_valid_m: int):
+    mi = pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        bd[...] = jnp.full(bd.shape, jnp.inf, jnp.float32)
+        bi[...] = jnp.zeros(bi.shape, jnp.int32)
+
+    q = src_ref[0]                                        # (TN, C)
+    t = tgt_ref[0]                                        # (TM, C)
+    TN, TM = q.shape[0], t.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + mi * tile_m
+    d2 = _dist_block(q, t, col < n_valid_m)
+
+    bmin = jnp.min(d2, axis=1, keepdims=True)             # (TN, 1)
+    barg = (jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+            + mi * tile_m)
+    # strict < keeps the earlier tile's index on exact ties — identical to a
+    # global argmin (first minimum wins)
+    better = bmin < bd[...]
+    bd[...] = jnp.where(better, bmin, bd[...])
+    bi[...] = jnp.where(better, barg, bi[...])
+
+    @pl.when(mi == pl.num_programs(2) - 1)
+    def _flush():
+        d_ref[0] = bd[...]
+        i_ref[0] = bi[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def nn1_stream(src: jnp.ndarray, tgt: jnp.ndarray,
+               tile_n: int = 256, tile_m: int = 2048,
+               interpret: bool = False):
+    """(B,N,C) x (B,M,C) -> (min_sqdist (B,N), idx (B,N)), M streamed.
+
+    Drop-in for ops/pallas_knn.py:nn1_pallas at any M — VMEM holds only a
+    (tile_n, tile_m) block plus a (tile_n, 1) carry.
+    """
+    B, N, C = src.shape
+    M = tgt.shape[1]
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
+    kern = functools.partial(_nn1_stream_kernel, tile_m=tile_m, n_valid_m=M)
+    d, i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, C), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.int32)],
+        interpret=interpret,
+    )(src.astype(jnp.float32), tgt.astype(jnp.float32))
+    return d[..., 0], i[..., 0]
+
+
+# --------------------------------------------------------------------------
+# kNN: running sorted top-k carry
+# --------------------------------------------------------------------------
+
+def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
+                       *, k: int, tile_m: int, n_valid_m: int):
+    mi = pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        cd[...] = jnp.full(cd.shape, jnp.inf, jnp.float32)
+        ci[...] = jnp.zeros(ci.shape, jnp.int32)
+
+    q = src_ref[0]                                        # (TN, C)
+    t = tgt_ref[0]                                        # (TM, C)
+    TN, TM = q.shape[0], t.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (TN, k), 1)
+    d2 = _dist_block(q, t, col + mi * tile_m < n_valid_m)
+
+    # block top-k by k argmin-extract passes over the (TN, TM) block
+    def bbody(j, carry):
+        d2, bk_d, bk_i = carry
+        amd = jnp.min(d2, axis=1)                         # (TN,)
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        hit = col == am[:, None]
+        bk_d = jnp.where(colk == j, amd[:, None], bk_d)
+        bk_i = jnp.where(colk == j, (am + mi * tile_m)[:, None], bk_i)
+        return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
+
+    _, bk_d, bk_i = jax.lax.fori_loop(
+        0, k, bbody, (d2, jnp.zeros((TN, k), jnp.float32),
+                      jnp.zeros((TN, k), jnp.int32)))
+
+    # merge the sorted carry with the sorted block list: k argmin-extract
+    # passes over (TN, 2k). Carry columns come FIRST, so exact-tie argmin
+    # picks the earlier m-tile's (lower) global index — matching lax.top_k's
+    # stable ordering; both inputs being (distance, index)-sorted keeps the
+    # result sorted by induction.
+    md = jnp.concatenate([cd[...], bk_d], axis=1)         # (TN, 2k)
+    mi_idx = jnp.concatenate([ci[...], bk_i], axis=1)
+    col2k = jax.lax.broadcasted_iota(jnp.int32, (TN, 2 * k), 1)
+
+    def mbody(j, carry):
+        md, nd, ni = carry
+        amd = jnp.min(md, axis=1)
+        am = jnp.argmin(md, axis=1).astype(jnp.int32)
+        hit = col2k == am[:, None]
+        picked = jnp.sum(jnp.where(hit, mi_idx, 0), axis=1)
+        nd = jnp.where(colk == j, amd[:, None], nd)
+        ni = jnp.where(colk == j, picked[:, None], ni)
+        return jnp.where(hit, jnp.inf, md), nd, ni
+
+    _, nd, ni = jax.lax.fori_loop(
+        0, k, mbody, (md, jnp.zeros((TN, k), jnp.float32),
+                      jnp.zeros((TN, k), jnp.int32)))
+    cd[...] = nd
+    ci[...] = ni
+
+    @pl.when(mi == pl.num_programs(2) - 1)
+    def _flush():
+        out_ref[0] = ci[...]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
+                                             "interpret"))
+def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
+               tile_n: int = 256, tile_m: int = 2048,
+               interpret: bool = False) -> jnp.ndarray:
+    """(B,N,C) x (B,M,C) -> int32 (B,N,k) ascending distance, M streamed.
+
+    Semantics match ops/common.py:knn (lax.top_k over clamped distances:
+    ascending distance, exact ties broken by the lower index). Requires
+    tile_m >= k and M >= k.
+    """
+    B, N, C = src.shape
+    M = tgt.shape[1]
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    assert tile_m >= k and M >= k, (tile_m, M, k)
+    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
+    kern = functools.partial(_knn_stream_kernel, k=k, tile_m=tile_m,
+                             n_valid_m=M)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, C), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile_n, k), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tile_n, k), jnp.float32),
+                        pltpu.VMEM((tile_n, k), jnp.int32)],
+        interpret=interpret,
+    )(src.astype(jnp.float32), tgt.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# Overlap-head softmax-weighted projection: online softmax (flash-style)
+# --------------------------------------------------------------------------
+
+def _wproject_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
+                     *, tile_m: int, n_valid_m: int):
+    mi = pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    q = q_ref[0]                                          # (TN, D)
+    kk = k_ref[0]                                         # (TM, D)
+    TN, TM = q.shape[0], kk.shape[0]
+    s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (TN, TM)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + mi * tile_m
+    valid = col < n_valid_m
+    s = jnp.where(valid, s, -jnp.inf)
+
+    m_prev = m_s[...]                                     # (TN, 1)
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)                      # first tile: exp(-inf - m) = 0
+    p = jnp.exp(s - m_next)                               # masked cols -> 0
+    l_s[...] = alpha * l_s[...] + jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]                                          # (TM, 1) f32
+    # where-select, not multiply: padded tail rows of v read garbage (NaN)
+    # and p * NaN would poison the whole row even where p == 0
+    contrib = jnp.where(valid, p * v[:, 0][None, :], 0.0)
+    acc_s[...] = acc_s[...] * alpha + jnp.sum(contrib, axis=1, keepdims=True)
+    m_s[...] = m_next
+
+    @pl.when(mi == pl.num_programs(2) - 1)
+    def _flush():
+        # l > 0 always: every query row sees >= 1 valid column overall
+        o_ref[0] = acc_s[...] / l_s[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def wproject_stream(q_feats: jnp.ndarray, k_feats: jnp.ndarray,
+                    values: jnp.ndarray,
+                    tile_n: int = 256, tile_m: int = 1024,
+                    interpret: bool = False) -> jnp.ndarray:
+    """softmax(q @ k^T, axis=-1) @ v without the (N, M) matrix. v dim == 1.
+
+    q (B,N,D), k (B,M,D), values (B,M,1) -> (B,N,1) f32. The overlap head's
+    similarity-weighted score projection (models/gmmreg.py:74-89): callers
+    pass l2-normalised features so q @ k^T is the cosine similarity; the
+    second direction of the head is the same call with roles swapped
+    (see nn/gmmreg.py). Softmax statistics are f32; the feature matmul runs
+    in the input dtype with f32 accumulation — identical MXU numerics to the
+    dense einsum path.
+    """
+    B, N, D = q_feats.shape
+    M = k_feats.shape[1]
+    assert values.shape == (B, M, 1), values.shape
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
+    kern = functools.partial(_wproject_kernel, tile_m=tile_m, n_valid_m=M)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_n, D), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, D), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, 1), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.float32)],
+        interpret=interpret,
+    )(q_feats, k_feats, values.astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# Chunked jnp fallbacks — HBM bounded at (B, chunk, M); CPU path + the
+# numerical reference for the kernels above
+# --------------------------------------------------------------------------
+
+def _chunk_rows(x: jnp.ndarray, chunk: int):
+    """(B, N, C) -> (nc, B, chunk, C) with edge padding (values ignored by
+    callers: padded rows produce outputs that are sliced away)."""
+    B, N, C = x.shape
+    nc = -(-N // chunk)
+    pad = nc * chunk - N
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode='edge')
+    return jnp.moveaxis(x.reshape(B, nc, chunk, C), 1, 0), nc
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def nn1_chunked(src: jnp.ndarray, tgt: jnp.ndarray, chunk: int = 1024):
+    """1-NN via lax.map over query chunks: peak extra HBM = B*chunk*M f32."""
+    from ogmm_tpu.ops.common import square_distance
+    B, N, _ = src.shape
+    chunks, _ = _chunk_rows(src.astype(jnp.float32), chunk)
+
+    def one(qc):
+        d = square_distance(qc, tgt)                      # (B, chunk, M)
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    d, i = jax.lax.map(one, chunks)                       # (nc, B, chunk)
+    d = jnp.moveaxis(d, 0, 1).reshape(B, -1)[:, :N]
+    i = jnp.moveaxis(i, 0, 1).reshape(B, -1)[:, :N]
+    return d, i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_chunked(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
+                chunk: int = 1024) -> jnp.ndarray:
+    """kNN via lax.map over query chunks + lax.top_k over the full M axis."""
+    from ogmm_tpu.ops.common import square_distance
+    B, N, _ = src.shape
+    chunks, _ = _chunk_rows(src.astype(jnp.float32), chunk)
+
+    def one(qc):
+        d = square_distance(qc, tgt)
+        return jax.lax.top_k(-d, k)[1].astype(jnp.int32)
+
+    idx = jax.lax.map(one, chunks)                        # (nc, B, chunk, k)
+    return jnp.moveaxis(idx, 0, 1).reshape(B, -1, k)[:, :N]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wproject_chunked(q_feats: jnp.ndarray, k_feats: jnp.ndarray,
+                     values: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
+    """softmax(q @ k^T) @ v via lax.map over query chunks."""
+    B, N, _ = q_feats.shape
+    chunks, _ = _chunk_rows(q_feats, chunk)
+    values = values.astype(jnp.float32)
+
+    def one(qc):
+        s = jnp.einsum('bnd,bmd->bnm', qc, k_feats,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(s, axis=-1), values)
+
+    out = jax.lax.map(one, chunks)                        # (nc, B, chunk, 1)
+    return jnp.moveaxis(out, 0, 1).reshape(B, -1, 1)[:, :N]

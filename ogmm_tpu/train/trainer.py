@@ -53,11 +53,16 @@ def _gt_rt(batch):
     return g[..., :3, :3], g[..., :3, 3]
 
 
-def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
+def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
+                    with_metrics: bool = True, jit: bool = True):
     """Returns jitted (state, batch) -> (state, metrics).
 
     GMMReg trains on the composite loss (reference train.py:69-71); DeepGMR
     (2-output forward) trains on dcp_loss alone (reference train_base.py:57).
+    `with_metrics=False` skips the dcp_metrics suite (loss/clu only) — the
+    light step the trainer uses between `metrics_every` strides. `jit=False`
+    returns the raw traceable step (callers embedding it in a scan, e.g.
+    bench.py's chained-steps timing protocol).
     """
     t = cfg.train
     is_gmmreg = cfg.model_name == "GMMReg"
@@ -93,11 +98,16 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None):
             lambda p, u: p + u, state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=bstats, opt_state=opt_state)
-        metrics = dcp_metrics(src, tgt, rot_gt, trans_gt, rot, trans)
+        if with_metrics:
+            metrics = dcp_metrics(src, tgt, rot_gt, trans_gt, rot, trans)
+        else:
+            metrics = {}
         metrics['loss'] = jnp.broadcast_to(loss, rot.shape[:1])
         metrics['clu_loss'] = jnp.broadcast_to(clu, rot.shape[:1])
         return new_state, metrics
 
+    if not jit:
+        return step
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -176,6 +186,13 @@ class Trainer:
                     else jax.devices()[0].platform)
         set_pallas(platform == "tpu")
         self.train_step = make_train_step(model, tx, cfg, mesh)
+        # loss-only step between metric strides (cfg.train.metrics_every > 1
+        # thins the per-step dcp_metrics tail; epoch summaries then average
+        # metrics over the sampled steps only)
+        self.metrics_every = max(1, cfg.train.metrics_every)
+        self.train_step_light = (
+            make_train_step(model, tx, cfg, mesh, with_metrics=False)
+            if self.metrics_every > 1 else None)
         self.eval_step = make_eval_step(model, cfg, mesh)
         self.batch_sharding = (
             NamedSharding(mesh, P(mesh.axis_names[0])) if mesh else None)
@@ -204,7 +221,11 @@ class Trainer:
                     logger.info("profiler trace written to %s", self.profile_dir)
             with jax.profiler.StepTraceAnnotation("train", step_num=i):
                 dev_batch = _device_batch(batch, self.batch_sharding)
-                self.state, metrics = self.train_step(self.state, dev_batch)
+                step_fn = (self.train_step
+                           if (self.train_step_light is None
+                               or i % self.metrics_every == 0)
+                           else self.train_step_light)
+                self.state, metrics = step_fn(self.state, dev_batch)
             n_pairs += batch['src_xyz'].shape[0]
             for k, v in metrics.items():
                 acc[k].append(v)
@@ -217,13 +238,14 @@ class Trainer:
         n_dev = self.mesh.size if self.mesh else 1
         summary['pairs_per_sec'] = n_pairs / dt
         summary['pairs_per_sec_per_chip'] = n_pairs / dt / n_dev
+        nan = float('nan')
         logger.info(
             "Epoch %-4d Mean-Loss: %.4f r_rmse:%.4f r_mae:%.4f t_rmse:%.4f "
             "t_mae:%.4f clip_dist:%.4f recall:%.4f | %.1f pairs/s/chip",
-            epoch, summary['loss'], summary['r_rmse'], summary['r_mae'],
-            summary['t_rmse'], summary['t_mae'],
-            summary['clip_chamfer_dist'], summary['n_correct'],
-            summary['pairs_per_sec_per_chip'])
+            epoch, summary['loss'], summary.get('r_rmse', nan),
+            summary.get('r_mae', nan), summary.get('t_rmse', nan),
+            summary.get('t_mae', nan), summary.get('clip_chamfer_dist', nan),
+            summary.get('n_correct', nan), summary['pairs_per_sec_per_chip'])
         return summary
 
     def eval_epoch(self, epoch: int, loader) -> Dict[str, float]:

@@ -58,3 +58,44 @@ def test_registrar_from_checkpoint(tmp_path, rng):
                          jnp.asarray(sample['tgt_xyz']), train=False)
     np.testing.assert_allclose(np.asarray(rot), np.asarray(direct[0]),
                                atol=1e-5)
+
+
+def test_registrar_from_checkpoint_self_describing(tmp_path, rng):
+    """The checkpoint carries its Config: restore with NO cfg argument, and
+    refuse a mismatched cfg instead of silently changing semantics
+    (VERDICT r2 weak #5)."""
+    import jax.numpy as jnp
+    import pytest
+    from ogmm_tpu.train import CheckpointManager, create_train_state
+
+    cfg = _cfg()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, n_points=48))
+    B, N = 2, 48
+    sample = {'src_xyz': rng.randn(B, N, 3).astype(np.float32),
+              'tgt_xyz': rng.randn(B, N, 3).astype(np.float32)}
+    model, state, tx = create_train_state(cfg, 1, sample)
+    ckpt = CheckpointManager(str(tmp_path), cfg.model_name, cfg=cfg)
+    ckpt.save_best(state, epoch=0)
+
+    # config round-trips exactly
+    from ogmm_tpu.configs import config_to_dict
+    assert config_to_dict(ckpt.load_config()) == config_to_dict(cfg)
+
+    reg = Registrar.from_checkpoint(str(tmp_path))        # no cfg needed
+    assert config_to_dict(reg.cfg) == config_to_dict(cfg)
+    rot, _, _, _ = reg(sample['src_xyz'], sample['tgt_xyz'], refine=False)
+    direct = model.apply({'params': state.params,
+                          'batch_stats': state.batch_stats},
+                         jnp.asarray(sample['src_xyz']),
+                         jnp.asarray(sample['tgt_xyz']), train=False)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(direct[0]),
+                               atol=1e-5)
+
+    # mismatched cfg -> loud error, not silent semantics change
+    other = cfg.replace(model=dataclasses.replace(cfg.model, em_iters=5))
+    with pytest.raises(ValueError, match="cfg mismatch"):
+        Registrar.from_checkpoint(str(tmp_path), other)
+    # ... unless explicitly overridden
+    reg2 = Registrar.from_checkpoint(str(tmp_path), other,
+                                     override_config=True)
+    assert reg2.cfg.model.em_iters == 5

@@ -86,6 +86,22 @@ def test_modelnet_hdf_synthetic_end_to_end():
     assert item['src_overlap'].shape == (717,)
 
 
+def test_modelnet_hdf_category_filter():
+    """Single-class training filter (reference datasets/modelnet.py:308-310;
+    functional here — the reference's own is dead code behind its
+    double-load bug, see ModelNetHdf docstring)."""
+    full = ModelNetHdf("synthetic:64", partition='train')
+    labels = np.unique(full.label)
+    cat = int(labels[0])
+    ds = ModelNetHdf("synthetic:64", partition='train', category=cat)
+    assert len(ds) > 0
+    assert np.all(ds.label == cat)
+    assert len(ds) == int((full.label == cat).sum())
+    # category outside the train split (label < 20) -> empty, not an error
+    ds_empty = ModelNetHdf("synthetic:64", partition='train', category=39)
+    assert len(ds_empty) == 0 or np.all(ds_empty.label == 39)
+
+
 def test_prefetch_loader_batches():
     train_tf, _ = get_transforms('clean', 45.0, 0.5, 128, None)
     ds = ModelNetHdf("synthetic", transform=train_tf, partition='train')

@@ -77,6 +77,40 @@ def test_gmm_svd_recovers_transform(rng):
     np.testing.assert_allclose(np.asarray(trans), t, atol=1e-3)
 
 
+def test_gmm_svd_sinkhorn_path_recovers_transform(rng):
+    """is_sk=True (Sinkhorn-OT matching, models/dgcnn.py:96-108): the live
+    reference option GMMReg doesn't default to — must also recover a known
+    rigid transform from matched nodes."""
+    B, K = 2, 8
+    nodes = rng.randn(B, K, 3).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_euler('zyx', rng.uniform(-30, 30, (B, 3)),
+                            degrees=True).as_matrix().astype(np.float32)
+    t = 0.3 * rng.randn(B, 3).astype(np.float32)
+    tgt_nodes = np.einsum('bij,bkj->bki', R, nodes) + t[:, None]
+    feats = np.eye(K, dtype=np.float32)[None].repeat(B, 0) * 10.0
+    pi = np.full((B, K), 1.0 / K, dtype=np.float32)
+    rot, trans, _, _ = gmm_svd(jnp.asarray(nodes), jnp.asarray(tgt_nodes),
+                               jnp.asarray(feats), jnp.asarray(feats),
+                               jnp.asarray(pi), jnp.asarray(pi), is_sk=True)
+    np.testing.assert_allclose(np.asarray(rot), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(trans), t, atol=1e-3)
+
+
+def test_gmmreg_forward_is_sk(pair):
+    """The full network runs (and stays finite) with the Sinkhorn matching
+    branch enabled, matching the reference's is_sk config flag."""
+    import dataclasses
+    src, tgt, _, _ = pair
+    model = GMMReg(cfg=dataclasses.replace(TINY, is_sk=True))
+    vars_ = model.init({'params': jax.random.PRNGKey(0)}, src, tgt,
+                       train=False)
+    rot, trans, src_o, tgt_o, clu = model.apply(vars_, src, tgt, train=False)
+    assert np.all(np.isfinite(np.asarray(rot)))
+    assert np.all(np.isfinite(np.asarray(trans)))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(rot)), 1.0, atol=1e-3)
+
+
 def test_gmmreg_forward_shapes_and_grad(pair):
     src, tgt, _, _ = pair
     model = GMMReg(cfg=TINY)
@@ -233,3 +267,38 @@ def test_pointmlp_fused_eval_matches_naive():
         pm.pointmlp_eval_pallas = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pointmlp_fused_eval_matches_naive_bf16():
+    """bf16 parity of the fused PointMLP kernel: the kernel must round the
+    Dense output to the compute dtype BEFORE the InstanceNorm statistics,
+    exactly like the naive nn.Dense(dtype=bf16) -> instance_norm chain
+    (ADVICE r2: stats on the unrounded f32 accumulator diverge)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import ogmm_tpu.ops.pallas_mlp as pm
+    from ogmm_tpu.nn.layers import PointMLP
+    from ogmm_tpu.ops.dispatch import pallas_override
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 90, 64).astype(np.float32))
+    naive = PointMLP((128, 64), dtype='bfloat16')
+    v = naive.init(jax.random.PRNGKey(0), x)
+    ref = naive.apply(v, x, train=False)
+    orig = pm.pointmlp_eval_pallas
+    try:
+        pm.pointmlp_eval_pallas = functools.partial(orig, interpret=True)
+        with pallas_override(True):
+            out = PointMLP((128, 64), dtype='bfloat16',
+                           fuse_eval=True).apply(v, x, train=False)
+    finally:
+        pm.pointmlp_eval_pallas = orig
+    assert out.dtype == jnp.bfloat16
+    # both sides round to bf16 at the same points; residual diff is the
+    # matmul accumulation order only
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -1,0 +1,234 @@
+"""M-streamed kernels (ops/pallas_stream.py) vs dense references.
+
+The streamed kernels exist for the indoor regime (reference
+configs/cfgs.py:77: n_points=50000 -> ~35k into the network) where the
+(N, M) distance/similarity matrices cannot be materialised. Tests run the
+kernels in interpreter mode at small shapes whose tile counts force every
+code path: multiple m-tiles (the carry merge), ragged tails on BOTH axes,
+and exact-tie index ordering.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ogmm_tpu.ops.common import knn, nn1, square_distance
+from ogmm_tpu.ops.pallas_stream import (knn_chunked, knn_stream, nn1_chunked,
+                                        nn1_stream, wproject_chunked,
+                                        wproject_stream)
+
+
+def _clouds(rng, B=2, N=150, M=117):
+    src = rng.randn(B, N, 3).astype(np.float32)
+    tgt = rng.randn(B, M, 3).astype(np.float32)
+    # duplicate a handful of target points ACROSS m-tile boundaries so exact
+    # distance ties exercise the lowest-index merge ordering
+    tgt[:, M - 17] = tgt[:, 3]
+    tgt[:, M - 40] = tgt[:, M // 2]
+    src[:, 5] = tgt[:, 3]          # exact-zero distance hit
+    return jnp.asarray(src), jnp.asarray(tgt)
+
+
+def test_nn1_stream_matches_dense(rng):
+    src, tgt = _clouds(rng)
+    dm = square_distance(src, tgt)
+    d, i = nn1_stream(src, tgt, tile_n=64, tile_m=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(jnp.min(dm, -1)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_nn1_stream_single_tile_degenerates(rng):
+    # tile_m >= M: one m-tile — must equal the whole-M kernel semantics
+    src, tgt = _clouds(rng, M=60)
+    dm = square_distance(src, tgt)
+    d, i = nn1_stream(src, tgt, tile_n=64, tile_m=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
+
+
+def test_knn_stream_matches_topk(rng):
+    src, tgt = _clouds(rng)
+    ref = knn(src, tgt, 8, use_pallas=False)
+    out = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_knn_stream_self_graph(rng):
+    x = jnp.asarray(rng.randn(2, 117, 3).astype(np.float32))
+    ref = knn(x, x, 20, use_pallas=False)
+    out = knn_stream(x, x, 20, tile_n=64, tile_m=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(out[..., 0]),
+                                  np.arange(117)[None].repeat(2, 0))
+
+
+def test_knn_stream_tie_order_lowest_index():
+    # every target point identical: top-k must be 0..k-1 (stable tie order),
+    # ties spanning several m-tiles
+    src = jnp.zeros((1, 8, 3), jnp.float32)
+    tgt = jnp.ones((1, 40, 3), jnp.float32)
+    out = knn_stream(src, tgt, 6, tile_n=8, tile_m=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.broadcast_to(np.arange(6), (1, 8, 6)))
+
+
+def test_wproject_stream_matches_softmax_einsum(rng):
+    B, N, M, D = 2, 70, 53, 32
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+    sim = jnp.einsum('bnd,bmd->bnm', q, k)
+    ref = jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(sim, axis=-1), v)
+    out = wproject_stream(q, k, v, tile_n=32, tile_m=16, interpret=True)
+    # online softmax reassociates the sum: agreement to ~1e-5 rel, not bitwise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wproject_stream_large_logits_stable(rng):
+    # online-softmax max tracking: huge logits must not overflow
+    B, N, M, D = 1, 16, 48, 8
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 30.0
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32)) * 30.0
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+    sim = jnp.einsum('bnd,bmd->bnm', q, k)
+    ref = jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(sim, axis=-1), v)
+    out = wproject_stream(q, k, v, tile_n=16, tile_m=16, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- chunked --
+
+def test_nn1_chunked_matches_dense(rng):
+    src, tgt = _clouds(rng)
+    dm = square_distance(src, tgt)
+    d, i = nn1_chunked(src, tgt, chunk=64)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(jnp.min(dm, -1)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_knn_chunked_matches_topk(rng):
+    src, tgt = _clouds(rng)
+    ref = knn(src, tgt, 8, use_pallas=False)
+    out = knn_chunked(src, tgt, 8, chunk=64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_wproject_chunked_matches_softmax_einsum(rng):
+    B, N, M, D = 2, 70, 53, 16
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+    sim = jnp.einsum('bnd,bmd->bnm', q, k)
+    ref = jnp.einsum('bnm,bmd->bnd', jax.nn.softmax(sim, axis=-1), v)
+    out = wproject_chunked(q, k, v, chunk=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wproject_chunked_differentiable(rng):
+    # the chunked path trains (the streamed Pallas kernel is eval-only)
+    B, N, M, D = 1, 20, 30, 8
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+
+    def loss_chunk(q):
+        return wproject_chunked(q, k, v, chunk=8).sum()
+
+    def loss_dense(q):
+        sim = jnp.einsum('bnd,bmd->bnm', q, k)
+        return jnp.einsum('bnm,bmd->bnd',
+                          jax.nn.softmax(sim, axis=-1), v).sum()
+
+    g1 = jax.grad(loss_chunk)(q)
+    g2 = jax.grad(loss_dense)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------- routing --
+
+def test_nn1_router_dense_small(rng):
+    src, tgt = _clouds(rng, B=1, N=40, M=30)
+    dm = square_distance(src, tgt)
+    d, i = nn1(src, tgt)    # CPU small -> dense
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
+
+
+def test_router_chunks_beyond_dense_limit(rng, monkeypatch):
+    import ogmm_tpu.ops.common as common
+    monkeypatch.setattr(common, "_DENSE_ELEMS", 1000)
+    src, tgt = _clouds(rng, B=1, N=60, M=50)
+    dm = square_distance(src, tgt)
+    d, i = common.nn1(src, tgt)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(jnp.argmin(dm, -1)))
+    idx = common.knn(src, tgt, 7)
+    ref = jax.lax.top_k(-dm, 7)[1]
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))
+
+
+def test_gmmreg_streaming_overlap_matches_dense(rng):
+    """GMMReg forward with the streamed overlap head (chunked fallback on
+    CPU) must match the materialised-similarity path."""
+    import dataclasses
+
+    from ogmm_tpu.configs import mnet
+    from ogmm_tpu.nn import GMMReg
+
+    cfg = mnet().model
+    small = dataclasses.replace(cfg, emb_dims=32, n_clusters=8, km_clusters=8,
+                                num_heads=2, gnn_k=6, pos_k=4, em_iters=2,
+                                sinkhorn_iters=3, icp_iters=2)
+    B, N = 2, 48
+    src = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    tgt = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+
+    dense_m = GMMReg(cfg=dataclasses.replace(small, overlap_stream=False))
+    variables = dense_m.init({'params': jax.random.PRNGKey(0)}, src, tgt,
+                             train=False)
+    stream_m = GMMReg(cfg=dataclasses.replace(small, overlap_stream=True))
+
+    for train in (False, True):
+        kw = ({'mutable': ['batch_stats']} if train else {})
+        out_d = dense_m.apply(variables, src, tgt, train=train, **kw)
+        out_s = stream_m.apply(variables, src, tgt, train=train, **kw)
+        if train:
+            out_d, out_s = out_d[0], out_s[0]
+        for a, b in zip(out_d, out_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_gmmreg_streaming_overlap_trains(rng):
+    """Gradients flow through the chunked streaming overlap head."""
+    import dataclasses
+
+    from ogmm_tpu.configs import mnet
+    from ogmm_tpu.nn import GMMReg
+
+    cfg = dataclasses.replace(mnet().model, emb_dims=32, n_clusters=8,
+                              km_clusters=8, num_heads=2, gnn_k=6, pos_k=4,
+                              em_iters=2, sinkhorn_iters=3,
+                              overlap_stream=True)
+    B, N = 2, 32
+    src = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    tgt = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    model = GMMReg(cfg=cfg)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, src, tgt,
+                           train=False)
+
+    def loss(params):
+        rot, trans, src_o, tgt_o, clu = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            src, tgt, train=True, mutable=['batch_stats'])[0]
+        return (rot.sum() + trans.sum() + src_o.sum() + tgt_o.sum()
+                + clu.sum())
+
+    g = jax.grad(loss)(variables['params'])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+    assert any(np.any(np.asarray(x) != 0) for x in flat)

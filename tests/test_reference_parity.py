@@ -114,3 +114,22 @@ def test_random_pose_sampling_matches_reference():
     np.random.seed(123)
     our_pose = random_pose(np.pi / 4, 0.5)
     np.testing.assert_allclose(our_pose, ref_pose, atol=1e-7)
+
+
+def test_get_rri_matches_reference():
+    """The rewritten RRI feature chain (data/datautils.py:get_rri) vs the
+    reference formula on identical inputs — the rewrite reorganises the
+    computation (direct cosines, np.partition instead of argpartition
+    gather) but must stay numerically equivalent."""
+    ref_datautils = pytest.importorskip("datasets.datautils")
+    from ogmm_tpu.data.datautils import get_rri, knn_idx
+
+    rs = np.random.RandomState(11)
+    pts = rs.randn(120, 3).astype(np.float64)
+    pts -= pts.mean(0)
+    for k in (4, 8):
+        np.testing.assert_array_equal(knn_idx(pts, k),
+                                      ref_datautils.knn_idx(pts, k))
+        ours = get_rri(pts, k)
+        ref = ref_datautils.get_rri(pts, k)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-9)

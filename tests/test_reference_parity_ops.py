@@ -202,3 +202,74 @@ def test_dgcnn_matches_reference_with_copied_weights(rng):
                           jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out_our), out_ref,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_gmm_svd_is_sk_matches_reference(rng):
+    """GMMSVD Sinkhorn-OT matching branch (is_sk=True) vs the reference's
+    torch module on identical inputs (models/dgcnn.py:96-115). The reference
+    early-exits its Sinkhorn at thresh=1e-2 while ours runs fixed 30 trips;
+    past convergence the extra trips are sub-threshold, so transforms agree
+    to ~1e-3 (VERDICT r2 missing #3)."""
+    from models.dgcnn import GMMSVD as RefGMMSVD
+    from ogmm_tpu.nn.gmmreg import gmm_svd
+
+    B, K, D = 2, 16, 32
+    src_nodes = rng.randn(B, K, 3).astype(np.float32)
+    tgt_nodes = rng.randn(B, K, 3).astype(np.float32)
+    # correlated descriptors: realistic soft matching, not a permutation
+    base = rng.randn(B, K, D).astype(np.float32)
+    src_desc = base + 0.1 * rng.randn(B, K, D).astype(np.float32)
+    tgt_desc = base + 0.1 * rng.randn(B, K, D).astype(np.float32)
+    pi_s = rng.rand(B, K).astype(np.float32)
+    pi_s /= pi_s.sum(-1, keepdims=True)
+    pi_t = rng.rand(B, K).astype(np.float32)
+    pi_t /= pi_t.sum(-1, keepdims=True)
+
+    ref = RefGMMSVD(is_sk=True)
+    with torch.no_grad():
+        r_ref, t_ref, corr_ref, _ = ref(
+            _t(src_nodes), _t(tgt_nodes), _t(src_desc), _t(tgt_desc),
+            _t(pi_s), _t(pi_t))
+
+    r_our, t_our, corr_our, _ = gmm_svd(
+        jnp.asarray(src_nodes), jnp.asarray(tgt_nodes),
+        jnp.asarray(src_desc), jnp.asarray(tgt_desc),
+        jnp.asarray(pi_s), jnp.asarray(pi_t), is_sk=True)
+
+    np.testing.assert_allclose(np.asarray(r_our), r_ref.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_our), t_ref.numpy(),
+                               rtol=1e-3, atol=2e-3)
+    # reference returns src_corr channel-first (b, 3, n)
+    np.testing.assert_allclose(np.asarray(corr_our),
+                               corr_ref.numpy().transpose(0, 2, 1),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_gmm_svd_softmax_matches_reference(rng):
+    """The default softmax branch (is_sk=False, the path GMMReg configures,
+    models/gmmreg.py:41) vs the torch module — deterministic, tight."""
+    from models.dgcnn import GMMSVD as RefGMMSVD
+    from ogmm_tpu.nn.gmmreg import gmm_svd
+
+    B, K, D = 2, 16, 32
+    src_nodes = rng.randn(B, K, 3).astype(np.float32)
+    tgt_nodes = rng.randn(B, K, 3).astype(np.float32)
+    base = rng.randn(B, K, D).astype(np.float32)
+    src_desc = base + 0.1 * rng.randn(B, K, D).astype(np.float32)
+    tgt_desc = base + 0.1 * rng.randn(B, K, D).astype(np.float32)
+    pi = np.full((B, K), 1.0 / K, np.float32)
+
+    ref = RefGMMSVD(is_sk=False)
+    with torch.no_grad():
+        r_ref, t_ref, _, _ = ref(
+            _t(src_nodes), _t(tgt_nodes), _t(src_desc), _t(tgt_desc),
+            _t(pi), _t(pi))
+    r_our, t_our, _, _ = gmm_svd(
+        jnp.asarray(src_nodes), jnp.asarray(tgt_nodes),
+        jnp.asarray(src_desc), jnp.asarray(tgt_desc),
+        jnp.asarray(pi), jnp.asarray(pi), is_sk=False)
+    np.testing.assert_allclose(np.asarray(r_our), r_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_our), t_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)

@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument('--epochs', type=int, default=None)
     p.add_argument('--lr', type=float, default=None)
     p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--metrics_every', type=int, default=None,
+                   help='full dcp_metrics every k-th train step (1 = every '
+                        'step like the reference; >1 trims the step tail)')
     p.add_argument('--model_path', type=str, default=None)
     p.add_argument('--steps_per_epoch', type=int, default=None,
                    help='cap optimizer steps per epoch (smoke runs)')
@@ -74,7 +77,7 @@ def build_config(args):
     if args.root == 'synthetic' and args.dataset is None:
         data_kw['dataset'] = 'synthetic'
     for k in ('batch_size', 'test_batch_size', 'epochs', 'lr', 'seed',
-              'model_path'):
+              'metrics_every', 'model_path'):
         v = getattr(args, k)
         if v is not None:
             train_kw[k] = v
@@ -138,7 +141,7 @@ def main(argv=None):
     model, state, tx = create_train_state(cfg, steps_per_epoch, sample)
 
     mesh = make_mesh(cfg) if len(jax.devices()) > 1 else None
-    ckpt = CheckpointManager(cfg.train.model_path, cfg.model_name)
+    ckpt = CheckpointManager(cfg.train.model_path, cfg.model_name, cfg=cfg)
     restored = ckpt.restore(state)
     if restored is not None:
         logger.info("restored full train state from optim_model")
