@@ -36,7 +36,8 @@ class PositionEncoding(nn.Module):
                                 # geometry (kNN, angles) stays fp32
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True):
+    def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True,
+                 nbr_idx: jnp.ndarray | None = None):
         B, N, _ = points.shape
         centroid = points.mean(axis=1, keepdims=True)        # (B, 1, 3)
         p2gc = points - centroid                             # (B, N, 3)
@@ -50,14 +51,18 @@ class PositionEncoding(nn.Module):
         dis_feature = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(h, train), 0.2)
 
         from ogmm_tpu.ops.dispatch import use_pallas
-        if use_pallas() and N <= 1024:
+        if nbr_idx is None and use_pallas() and N <= 1024:
             # fused kNN + gather + normalised-dot (ops/pallas_knn.py);
             # neighbour ORDER may differ from the jnp path only at exact
             # distance ties — the angle features are maxed over k below
             from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
             alpha = posenc_angles_pallas(points, k)[..., None]  # (B,N,k,1)
         else:
-            idx = knn(points, points, k)
+            # nbr_idx: shared graph from the caller (a prefix of DGCNN's
+            # k=20 graph — identical to a fresh kNN since both sort
+            # ascending with stable ties; kills the second selection sweep
+            # that dominated the indoor profile, profiles/r3)
+            idx = nbr_idx if nbr_idx is not None else knn(points, points, k)
             p2lc = gather_neighbors(points, idx) - points[:, :, None, :]
             alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
                                l2_normalize(p2gc))[..., None]  # (B, N, k, 1)

@@ -86,8 +86,16 @@ class DGCNN(nn.Module):
         return s, bias - mean * s
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        """x: (B, N, 3) points -> (B, N, emb_dims) features."""
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 nbr_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, N, 3) points -> (B, N, emb_dims) features.
+
+        `nbr_idx` (B, N, k) optionally supplies the kNN graph (the naive
+        path only — the fused kernels build it in-VMEM and only engage at
+        N <= 1024). GMMReg passes a shared graph at large N, where the kNN
+        selection dominates the forward (profiles/r3): the position
+        encoding's k=5 graph is a prefix of this k=20 graph.
+        """
         init = nn.initializers.lecun_normal()
         dims = [6] + list(_STAGES)
         ws = [self.param(f'w{i+1}', init, (dims[i], dims[i + 1]))
@@ -148,7 +156,7 @@ class DGCNN(nn.Module):
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
             return out
 
-        idx = knn(x, x, self.k)                      # one graph, reused
+        idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
         e = graph_feature(x, self.k, idx=idx)        # (B, N, k, 6)
         if self.dtype is not None:
             e = e.astype(self.dtype)                 # halve edge-tensor HBM traffic

@@ -117,6 +117,20 @@ class GMMReg(nn.Module):
         if stream_overlap is None:
             stream_overlap = B * N * M > 2 ** 26
 
+        # Large-N: the kNN selection dominates the forward (profiles/r3:
+        # 85% of the indoor eval at N=35k was the two knn_stream calls).
+        # DGCNN's k=20 graph and the position encoding's k=5 graph are both
+        # built on the same xyz, and knn() sorts ascending with stable
+        # ties, so the k=5 graph is EXACTLY the k=20 graph's prefix —
+        # compute once, slice. Below the fused-kernel envelope (N <= 1024)
+        # the in-VMEM kernels build their own graphs faster than a shared
+        # HBM round-trip, so sharing only engages above it.
+        share_graph = N > 1024 and cfg.pos_k <= cfg.gnn_k
+
+        def cloud_graph(pts):
+            from ogmm_tpu.ops.common import knn as _knn
+            return _knn(pts, pts, cfg.gnn_k) if share_graph else None
+
         dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
                       fused_train=cfg.dgcnn_fused_train)
         pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
@@ -168,9 +182,12 @@ class GMMReg(nn.Module):
                 if not cfg.recompute_anchors:
                     ids = ids * 3
 
-            feats = dgcnn(both, train)                          # (2B, N, D)
+            g_both = cloud_graph(both)
+            feats = dgcnn(both, train, nbr_idx=g_both)          # (2B, N, D)
             anchor0 = index_points(feats, ids[0])
-            t_all = feats + pos_enc(both, cfg.pos_k, train)
+            t_all = feats + pos_enc(
+                both, cfg.pos_k, train,
+                nbr_idx=None if g_both is None else g_both[..., :cfg.pos_k])
             t_all = conv1(sattn1(t_all, anchor0, train) + t_all, train)
 
             anchor1 = index_points(t_all, ids[1])
@@ -221,12 +238,18 @@ class GMMReg(nn.Module):
                 tgt_ids = tgt_ids * 3
 
             # --- stage 0: features + position encoding --------------------
-            src_feats = dgcnn(src, train)                      # (B, N, D)
-            tgt_feats = dgcnn(tgt, train)
+            g_src, g_tgt = cloud_graph(src), cloud_graph(tgt)
+            src_feats = dgcnn(src, train, nbr_idx=g_src)       # (B, N, D)
+            tgt_feats = dgcnn(tgt, train, nbr_idx=g_tgt)
             src_anchor0 = index_points(src_feats, src_ids[0])  # (B, km, D)
             tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
-            src_t = src_feats + pos_enc(src, cfg.pos_k, train)
-            tgt_t = tgt_feats + pos_enc(tgt, cfg.pos_k, train)
+            pk = cfg.pos_k
+            src_t = src_feats + pos_enc(
+                src, pk, train,
+                nbr_idx=None if g_src is None else g_src[..., :pk])
+            tgt_t = tgt_feats + pos_enc(
+                tgt, pk, train,
+                nbr_idx=None if g_tgt is None else g_tgt[..., :pk])
 
             # --- stage 1: anchor-conditioned self-attention ----------------
             src_t = conv1(sattn1(src_t, src_anchor0, train) + src_t, train)

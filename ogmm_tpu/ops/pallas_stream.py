@@ -130,7 +130,8 @@ def nn1_stream(src: jnp.ndarray, tgt: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
-                       *, k: int, tile_m: int, n_valid_m: int):
+                       *, k: int, tile_m: int, n_valid_m: int,
+                       unroll: bool):
     mi = pl.program_id(2)
 
     @pl.when(mi == 0)
@@ -155,9 +156,14 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
         bk_i = jnp.where(colk == j, (am + mi * tile_m)[:, None], bk_i)
         return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
 
-    _, bk_d, bk_i = jax.lax.fori_loop(
-        0, k, bbody, (d2, jnp.zeros((TN, k), jnp.float32),
-                      jnp.zeros((TN, k), jnp.int32)))
+    carry = (d2, jnp.zeros((TN, k), jnp.float32),
+             jnp.zeros((TN, k), jnp.int32))
+    if unroll:
+        for j in range(k):
+            carry = bbody(j, carry)
+        _, bk_d, bk_i = carry
+    else:
+        _, bk_d, bk_i = jax.lax.fori_loop(0, k, bbody, carry)
 
     # merge the sorted carry with the sorted block list: k argmin-extract
     # passes over (TN, 2k). Carry columns come FIRST, so exact-tie argmin
@@ -190,15 +196,22 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
-                                             "interpret"))
+                                             "interpret", "unroll"))
 def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
-               tile_n: int = 256, tile_m: int = 2048,
-               interpret: bool = False) -> jnp.ndarray:
+               tile_n: int = 256, tile_m: int = 4096,
+               interpret: bool = False, unroll: bool = True) -> jnp.ndarray:
     """(B,N,C) x (B,M,C) -> int32 (B,N,k) ascending distance, M streamed.
 
     Semantics match ops/common.py:knn (lax.top_k over clamped distances:
     ascending distance, exact ties broken by the lower index). Requires
     tile_m >= k and M >= k.
+
+    Defaults are the chip A/B winners at N=M=35k, k=20
+    (scripts/kernel_ab_stream.py, v5e r3): 69.5 ms/cloud at
+    (256, 4096, unroll=True) vs 168 ms at the first-cut
+    (256, 2048, rolled) — the rolled fori_loop carries the (TN, TM) block
+    as loop state and Mosaic rematerialises it every pass, and wide
+    lane-dim tiles beat tall sublane tiles (tn1024/tm512 was 441 ms).
     """
     B, N, C = src.shape
     M = tgt.shape[1]
@@ -207,7 +220,7 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     assert tile_m >= k and M >= k, (tile_m, M, k)
     grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
     kern = functools.partial(_knn_stream_kernel, k=k, tile_m=tile_m,
-                             n_valid_m=M)
+                             n_valid_m=M, unroll=unroll)
     return pl.pallas_call(
         kern,
         grid=grid,

@@ -232,3 +232,17 @@ def test_gmmreg_streaming_overlap_trains(rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
     assert any(np.any(np.asarray(x) != 0) for x in flat)
+
+
+def test_knn_prefix_property(rng):
+    """The k=5 graph is exactly the k=20 graph's prefix (both ascending
+    distance, stable ties) — the invariant behind GMMReg's shared large-N
+    graph (nn/gmmreg.py cloud_graph)."""
+    x = jnp.asarray(rng.randn(2, 300, 3).astype(np.float32))
+    x = x.at[:, 100].set(x[:, 3])          # exact ties too
+    k20 = knn(x, x, 20, use_pallas=False)
+    k5 = knn(x, x, 5, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(k20[..., :5]), np.asarray(k5))
+    # and the streamed kernel agrees with the same prefix
+    ks = knn_stream(x, x, 20, tile_n=64, tile_m=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ks[..., :5]), np.asarray(k5))
