@@ -58,23 +58,26 @@ class Registrar:
         from ogmm_tpu.configs import config_to_dict
         from ogmm_tpu.train.checkpoint import CheckpointManager
         from ogmm_tpu.train.state import create_train_state
-        probe = CheckpointManager(model_path,
-                                  cfg.model_name if cfg else model_name)
-        saved = probe.load_config()
+        # read-only probe: no CheckpointManager construction (its __init__
+        # mkdirs — would litter dirs for mistyped paths / die on RO mounts)
+        saved = CheckpointManager.read_config_at(
+            CheckpointManager._models_dir(
+                model_path, cfg.model_name if cfg else model_name))
         if cfg is None:
             if saved is None:
                 raise FileNotFoundError(
                     f"no config.json beside checkpoint under {model_path!r} "
                     "(pre-r3 checkpoint?) — pass cfg= explicitly")
             cfg = saved
-        elif (saved is not None and not override_config
-                and config_to_dict(saved) != config_to_dict(cfg)):
-            diff = [k for k in ("model", "data", "train", "model_name")
-                    if config_to_dict(saved).get(k) != config_to_dict(cfg).get(k)]
-            raise ValueError(
-                f"cfg mismatch vs the checkpoint's saved config (sections "
-                f"{diff}); pass cfg=None to use the saved one, or "
-                f"override_config=True to force yours")
+        elif saved is not None and not override_config:
+            saved_d, cfg_d = config_to_dict(saved), config_to_dict(cfg)
+            if saved_d != cfg_d:
+                diff = [k for k in ("model", "data", "train", "model_name")
+                        if saved_d.get(k) != cfg_d.get(k)]
+                raise ValueError(
+                    f"cfg mismatch vs the checkpoint's saved config "
+                    f"(sections {diff}); pass cfg=None to use the saved "
+                    f"one, or override_config=True to force yours")
         B, N = 1, cfg.data.n_points
         rs = np.random.RandomState(0)
         sample = {'src_xyz': rs.randn(B, N, 3).astype(np.float32),

@@ -110,12 +110,13 @@ class GMMReg(nn.Module):
 
         # overlap head: materialise the (B, N, M) similarity (ModelNet-scale)
         # or stream its softmax online (indoor ~35k: the dense matrix would
-        # be ~4.9 GB at B=1). NB the streamed Pallas path has no backward —
-        # training at streaming scale needs the chunked fallback (CPU) and
-        # is outside the reference's demonstrated envelope anyway.
+        # be ~4.9 GB at B=1). The streamed path is differentiable — a
+        # flash-style recompute VJP (ops/pallas_stream.py:_wproject_bwd) —
+        # so indoor-scale training works on TPU too.
         stream_overlap = cfg.overlap_stream
         if stream_overlap is None:
-            stream_overlap = B * N * M > 2 ** 26
+            from ogmm_tpu.ops.common import _DENSE_ELEMS
+            stream_overlap = B * N * M > _DENSE_ELEMS
 
         # Large-N: the kNN selection dominates the forward (profiles/r3:
         # 85% of the indoor eval at N=35k was the two knn_stream calls).

@@ -43,11 +43,14 @@ def nn1(src: jnp.ndarray, tgt: jnp.ndarray,
     """
     B, N, _ = src.shape
     M = tgt.shape[1]
+    forced = use_pallas is not None
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
         use_pallas = _auto()
     if use_pallas:
-        if prefer_dense and M <= 1024:
+        # prefer_dense is a heuristic and must not override an EXPLICIT
+        # use_pallas=True (kernel parity checks / A/Bs force the kernel)
+        if prefer_dense and not forced and M <= 1024:
             pass                                     # dense XLA below
         elif M <= _PALLAS_FULL_M:
             from ogmm_tpu.ops.pallas_knn import nn1_pallas

@@ -241,7 +241,7 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
 # Overlap-head softmax-weighted projection: online softmax (flash-style)
 # --------------------------------------------------------------------------
 
-def _wproject_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
+def _wproject_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s,
                      *, tile_m: int, n_valid_m: int):
     mi = pl.program_id(2)
 
@@ -277,9 +277,47 @@ def _wproject_kernel(q_ref, k_ref, v_ref, o_ref, m_s, l_s, acc_s,
     def _flush():
         # l > 0 always: every query row sees >= 1 valid column overall
         o_ref[0] = acc_s[...] / l_s[...]
+        lse_ref[0] = m_s[...] + jnp.log(l_s[...])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def wproject_stream_lse(q_feats: jnp.ndarray, k_feats: jnp.ndarray,
+                        values: jnp.ndarray,
+                        tile_n: int = 256, tile_m: int = 1024,
+                        interpret: bool = False):
+    """Like wproject_stream but also returns the per-row logsumexp (B, N, 1)
+    of the similarity logits — the residual the flash-style backward needs
+    to recompute the softmax blockwise (p = exp(s - lse))."""
+    B, N, D = q_feats.shape
+    M = k_feats.shape[1]
+    assert values.shape == (B, M, 1), values.shape
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
+    kern = functools.partial(_wproject_kernel, tile_m=tile_m, n_valid_m=M)
+    out, lse = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_n, D), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, D), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_m, 1), lambda b, i, m: (b, m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.float32)],
+        interpret=interpret,
+    )(q_feats, k_feats, values.astype(jnp.float32))
+    return out, lse
+
+
 def wproject_stream(q_feats: jnp.ndarray, k_feats: jnp.ndarray,
                     values: jnp.ndarray,
                     tile_n: int = 256, tile_m: int = 1024,
@@ -293,31 +331,74 @@ def wproject_stream(q_feats: jnp.ndarray, k_feats: jnp.ndarray,
     (see nn/gmmreg.py). Softmax statistics are f32; the feature matmul runs
     in the input dtype with f32 accumulation — identical MXU numerics to the
     dense einsum path.
+
+    Differentiable: the VJP recomputes the softmax blockwise from the saved
+    logsumexp (flash-attention-style backward, `_wproject_bwd`) — no (N, M)
+    residual is ever stored, so the overlap head TRAINS at indoor scale.
     """
-    B, N, D = q_feats.shape
-    M = k_feats.shape[1]
-    assert values.shape == (B, M, 1), values.shape
-    tile_n = min(tile_n, N)
-    tile_m = min(tile_m, M)
-    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
-    kern = functools.partial(_wproject_kernel, tile_m=tile_m, n_valid_m=M)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, tile_n, D), lambda b, i, m: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_m, D), lambda b, i, m: (b, m, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_m, 1), lambda b, i, m: (b, m, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
-                        pltpu.VMEM((tile_n, 1), jnp.float32),
-                        pltpu.VMEM((tile_n, 1), jnp.float32)],
-        interpret=interpret,
-    )(q_feats, k_feats, values.astype(jnp.float32))
+    return _wproject(q_feats, k_feats, values, tile_n, tile_m, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _wproject(q_feats, k_feats, values, tile_n, tile_m, interpret):
+    return wproject_stream_lse(q_feats, k_feats, values,
+                               tile_n=tile_n, tile_m=tile_m,
+                               interpret=interpret)[0]
+
+
+def _wproject_fwd(q_feats, k_feats, values, tile_n, tile_m, interpret):
+    out, lse = wproject_stream_lse(q_feats, k_feats, values,
+                                   tile_n=tile_n, tile_m=tile_m,
+                                   interpret=interpret)
+    return out, (q_feats, k_feats, values, out, lse)
+
+
+def _wproject_bwd(tile_n, tile_m, interpret, res, g):
+    """Flash-style backward: p = exp(s - lse) recomputed per query chunk.
+
+    With o_i = sum_m p_im v_m and upstream g_i:
+      s_bar_im = p_im g_i (v_m - o_i)
+      q_bar = s_bar @ k ; k_bar = s_bar^T @ q ; v_bar = p^T g
+    Peak memory is (B, chunk, M) — jnp/XLA (runs on any backend), so the
+    whole train step stays differentiable without a hand-written backward
+    kernel.
+    """
+    q, k, v, out, lse = res
+    B, N, D = q.shape
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    chunk = min(N, max(256, 2 ** 24 // max(k.shape[1], 1)))
+    qs, nc = _chunk_rows(q32, chunk)                        # (nc, B, c, D)
+    lses, _ = _chunk_rows(lse, chunk)
+    outs, _ = _chunk_rows(out, chunk)
+    # tail padding: _chunk_rows edge-pads (duplicating the last real row),
+    # which would double-count padded rows into k_bar/v_bar — zero-pad the
+    # upstream gradient instead so padded rows contribute exactly nothing
+    g32 = jnp.pad(g.astype(jnp.float32),
+                  ((0, 0), (0, nc * chunk - N), (0, 0)))
+    gs = jnp.moveaxis(g32.reshape(B, nc, chunk, 1), 1, 0)
+    vrow = v32[..., 0]                                      # (B, M)
+
+    def one(args):
+        qc, lc, oc, gc = args
+        s = jnp.einsum('bnd,bmd->bnm', qc, k32,
+                       preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lc)                                 # (B, c, M)
+        sbar = p * gc * (vrow[:, None, :] - oc)             # (B, c, M)
+        qbar = jnp.einsum('bnm,bmd->bnd', sbar, k32)
+        kbar = jnp.einsum('bnm,bnd->bmd', sbar, qc)
+        vbar = jnp.einsum('bnm,bnd->bmd', p, gc)            # (B, M, 1)
+        return qbar, kbar, vbar
+
+    qbars, kbars, vbars = jax.lax.map(one, (qs, lses, outs, gs))
+    qbar = jnp.moveaxis(qbars, 0, 1).reshape(B, -1, D)[:, :N]
+    return (qbar.astype(q.dtype),
+            jnp.sum(kbars, axis=0).astype(k.dtype),
+            jnp.sum(vbars, axis=0).astype(v.dtype))
+
+
+_wproject.defvjp(_wproject_fwd, _wproject_bwd)
 
 
 # --------------------------------------------------------------------------

@@ -26,25 +26,54 @@ from ogmm_tpu.train.state import TrainState
 class CheckpointManager:
     def __init__(self, root: str, model_name: str = "GMMReg",
                  cfg: Optional[Config] = None):
-        self.dir = os.path.abspath(
-            os.path.join(root, "checkpoints", model_name, "models"))
+        self.dir = self._models_dir(root, model_name)
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         if cfg is not None:
             self.save_config(cfg)
+
+    @staticmethod
+    def _models_dir(root: str, model_name: str) -> str:
+        return os.path.abspath(
+            os.path.join(root, "checkpoints", model_name, "models"))
 
     @property
     def config_path(self) -> str:
         return os.path.join(self.dir, "config.json")
 
     def save_config(self, cfg: Config) -> None:
+        """Persist the config beside the checkpoints — refusing to clobber a
+        DIFFERENT weight-semantics record: resuming at the same path with a
+        changed `model` section (or model_name) would silently reinterpret
+        the stored weights. Changed data/train sections (new lr, more
+        epochs, ...) are legitimate resume edits and update the record.
+        """
+        prev = self.load_config()
+        if prev is not None:
+            prev_d, cfg_d = config_to_dict(prev), config_to_dict(cfg)
+            if (prev_d["model"] != cfg_d["model"]
+                    or prev_d["model_name"] != cfg_d["model_name"]):
+                raise ValueError(
+                    f"refusing to overwrite {self.config_path}: the existing "
+                    "checkpoint was trained with a different model config "
+                    "(weights would be silently reinterpreted). Use a fresh "
+                    "model_path, or delete the old checkpoint dir.")
+            if prev_d == cfg_d:
+                return
         with open(self.config_path, "w") as f:
             json.dump(config_to_dict(cfg), f, indent=1, default=str)
 
     def load_config(self) -> Optional[Config]:
-        if not os.path.exists(self.config_path):
+        return self.read_config_at(self.dir)
+
+    @staticmethod
+    def read_config_at(models_dir: str) -> Optional[Config]:
+        """Read-only config probe — no directory creation (callers may pass
+        mistyped or read-only paths)."""
+        path = os.path.join(models_dir, "config.json")
+        if not os.path.exists(path):
             return None
-        with open(self.config_path) as f:
+        with open(path) as f:
             return config_from_dict(json.load(f))
 
     def _save(self, path: str, state: TrainState):

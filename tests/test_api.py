@@ -99,3 +99,29 @@ def test_registrar_from_checkpoint_self_describing(tmp_path, rng):
     reg2 = Registrar.from_checkpoint(str(tmp_path), other,
                                      override_config=True)
     assert reg2.cfg.model.em_iters == 5
+
+
+def test_checkpoint_config_guard(tmp_path, rng):
+    """save_config refuses to clobber a different model-section record
+    (weights would be silently reinterpreted); data/train edits are
+    legitimate resume changes; the from_checkpoint probe never mkdirs."""
+    import os
+    import pytest
+    from ogmm_tpu.train import CheckpointManager
+
+    cfg = _cfg()
+    CheckpointManager(str(tmp_path), cfg.model_name, cfg=cfg)
+    # same model, changed train section: allowed (resume with more epochs)
+    more = cfg.replace(train=dataclasses.replace(cfg.train, epochs=999))
+    ck2 = CheckpointManager(str(tmp_path), cfg.model_name, cfg=more)
+    assert ck2.load_config().train.epochs == 999
+    # changed model section: refused
+    other = cfg.replace(model=dataclasses.replace(cfg.model, emb_dims=64))
+    with pytest.raises(ValueError, match="different model config"):
+        CheckpointManager(str(tmp_path), cfg.model_name, cfg=other)
+
+    # read-only probe leaves no directories behind
+    ghost = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        Registrar.from_checkpoint(ghost)
+    assert not os.path.exists(ghost)

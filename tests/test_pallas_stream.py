@@ -130,7 +130,8 @@ def test_wproject_chunked_matches_softmax_einsum(rng):
 
 
 def test_wproject_chunked_differentiable(rng):
-    # the chunked path trains (the streamed Pallas kernel is eval-only)
+    # the chunked path trains through plain autodiff (the streamed kernel
+    # trains through its custom VJP, tested separately)
     B, N, M, D = 1, 20, 30, 8
     q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
     k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
@@ -246,3 +247,44 @@ def test_knn_prefix_property(rng):
     # and the streamed kernel agrees with the same prefix
     ks = knn_stream(x, x, 20, tile_n=64, tile_m=64, interpret=True)
     np.testing.assert_array_equal(np.asarray(ks[..., :5]), np.asarray(k5))
+
+
+def test_wproject_stream_custom_vjp_grads(rng):
+    """The streamed overlap projection trains: its flash-style recompute
+    backward must match autodiff through the dense softmax einsum for all
+    three inputs (incl. ragged tails, where padded upstream grads must
+    contribute exactly nothing)."""
+    B, N, M, D = 2, 70, 53, 16
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, N, 1).astype(np.float32))  # cotangent mix
+
+    def loss_stream(q, k, v):
+        return (wproject_stream(q, k, v, tile_n=32, tile_m=16,
+                                interpret=True) * w).sum()
+
+    def loss_dense(q, k, v):
+        sim = jnp.einsum('bnd,bmd->bnm', q, k)
+        return (jnp.einsum('bnm,bmd->bnd',
+                           jax.nn.softmax(sim, axis=-1), v) * w).sum()
+
+    gs = jax.grad(loss_stream, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gd, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_wproject_stream_lse_matches_dense(rng):
+    B, N, M, D = 1, 24, 40, 8
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, M, 1).astype(np.float32))
+    from ogmm_tpu.ops.pallas_stream import wproject_stream_lse
+    _, lse = wproject_stream_lse(q, k, v, tile_n=16, tile_m=16,
+                                 interpret=True)
+    sim = jnp.einsum('bnd,bmd->bnm', q, k)
+    ref = jax.nn.logsumexp(sim, axis=-1)[..., None]
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
