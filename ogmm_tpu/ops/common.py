@@ -110,6 +110,13 @@ def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
         if M <= _PALLAS_FULL_M:
             from ogmm_tpu.ops.pallas_knn import knn_pallas
             return knn_pallas(src, tgt, k)
+        if src is tgt and src.shape[-1] == 3:
+            # large self-graph: Morton pre-sort + diagonal-first streaming
+            # lets the per-tile skip gate cancel most selection sweeps on
+            # spatially coherent clouds (exact k-NN set; tie index choice
+            # may differ from top_k — consumers max over k)
+            from ogmm_tpu.ops.pallas_stream import knn_self_spatial
+            return knn_self_spatial(src, k)
         from ogmm_tpu.ops.pallas_stream import knn_stream
         return knn_stream(src, tgt, k)
     if not normalize and B * N * M > _DENSE_ELEMS:

@@ -125,14 +125,103 @@ def nn1_stream(src: jnp.ndarray, tgt: jnp.ndarray,
     return d[..., 0], i[..., 0]
 
 
+def _nn1t_kernel(src_ref, tgt_ref, xsq_ref, d_ref, i_ref, bd, bi,
+                 *, tile_m: int, n_valid_m: int):
+    """Transposed-layout 1-NN: xyz blocks are (3, tile) — channels on the
+    SUBLANE axis, points on lanes — so the DMA'd tiles are 8 x tile instead
+    of tile x 128 (the channel-last layout pads 3 -> 128 lanes: ~16x the
+    traffic). argmin uses r = |t|^2 - 2<q,t> (row-constant |q|^2 dropped);
+    the true min distance is reconstructed at flush from the prefetched
+    x_sq row block."""
+    mi = pl.program_id(2)
+
+    @pl.when(mi == 0)
+    def _init():
+        bd[...] = jnp.full(bd.shape, jnp.inf, jnp.float32)
+        bi[...] = jnp.zeros(bi.shape, jnp.int32)
+
+    q = src_ref[0]                                        # (3, TN)
+    t = tgt_ref[0]                                        # (3, TM)
+    TN, TM = q.shape[1], t.shape[1]
+    inner = jax.lax.dot_general(q, t, (((0,), (0,)), ((), ())),
+                                precision=_HI,
+                                preferred_element_type=jnp.float32)  # (TN, TM)
+    t_sq = jnp.sum(t * t, axis=0, keepdims=True)          # (1, TM)
+    r = t_sq - 2.0 * inner
+    col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + mi * tile_m
+    r = jnp.where(col < n_valid_m, r, jnp.inf)
+
+    bmin = jnp.min(r, axis=1, keepdims=True)
+    barg = jnp.argmin(r, axis=1).astype(jnp.int32)[:, None] + mi * tile_m
+    better = bmin < bd[...]
+    bd[...] = jnp.where(better, bmin, bd[...])
+    bi[...] = jnp.where(better, barg, bi[...])
+
+    @pl.when(mi == pl.num_programs(2) - 1)
+    def _flush():
+        d_ref[0] = jnp.maximum(bd[...] + xsq_ref[0], 1e-12)
+        i_ref[0] = bi[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def nn1_stream_t(src: jnp.ndarray, tgt: jnp.ndarray,
+                 tile_n: int = 512, tile_m: int = 4096,
+                 interpret: bool = False):
+    """Drop-in for nn1_stream with the transposed tile layout (see
+    _nn1t_kernel): (B,N,C) x (B,M,C) -> (min_sqdist (B,N), idx (B,N)).
+    Identical semantics (1e-12 clamp, first-min ties)."""
+    B, N, C = src.shape
+    M = tgt.shape[1]
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    s3 = jnp.swapaxes(src.astype(jnp.float32), 1, 2)      # (B, 3, N)
+    t3 = jnp.swapaxes(tgt.astype(jnp.float32), 1, 2)
+    x_sq = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
+    kern = functools.partial(_nn1t_kernel, tile_m=tile_m, n_valid_m=M)
+    d, i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, C, tile_n), lambda b, i, m: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, C, tile_m), lambda b, i, m: (b, 0, m),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
+                        pltpu.VMEM((tile_n, 1), jnp.int32)],
+        interpret=interpret,
+    )(s3, t3, x_sq)
+    return d[..., 0], i[..., 0]
+
+
 # --------------------------------------------------------------------------
 # kNN: running sorted top-k carry
 # --------------------------------------------------------------------------
 
+def _diag_first(i, m, *, n_m: int, tile_n: int, tile_m: int):
+    """Bijective m-tile visiting order centered on the diagonal: for query
+    tile i, visit target tiles start, start+1, start-1, start+2, ... (mod
+    n_m) where start contains column i*tile_n. Pure integer arithmetic —
+    usable both in BlockSpec index_maps and on program_id scalars."""
+    start = (i * tile_n) // tile_m
+    off = ((m + 1) // 2) * (1 - 2 * (m % 2))
+    return (start + off) % n_m
+
+
 def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
-                       *, k: int, tile_m: int, n_valid_m: int,
-                       unroll: bool):
+                       *, k: int, tile_n: int, tile_m: int, n_valid_m: int,
+                       n_m: int, unroll: bool, diag_order: bool):
     mi = pl.program_id(2)
+    phys = (_diag_first(pl.program_id(1), mi, n_m=n_m, tile_n=tile_n,
+                        tile_m=tile_m)
+            if diag_order else mi)
 
     @pl.when(mi == 0)
     def _init():
@@ -144,51 +233,63 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
     TN, TM = q.shape[0], t.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1)
     colk = jax.lax.broadcasted_iota(jnp.int32, (TN, k), 1)
-    d2 = _dist_block(q, t, col + mi * tile_m < n_valid_m)
+    d2 = _dist_block(q, t, col + phys * tile_m < n_valid_m)
 
-    # block top-k by k argmin-extract passes over the (TN, TM) block
-    def bbody(j, carry):
-        d2, bk_d, bk_i = carry
-        amd = jnp.min(d2, axis=1)                         # (TN,)
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        hit = col == am[:, None]
-        bk_d = jnp.where(colk == j, amd[:, None], bk_d)
-        bk_i = jnp.where(colk == j, (am + mi * tile_m)[:, None], bk_i)
-        return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
+    # tile skip: if no row's block minimum beats its current k-th best, the
+    # ~4k selection sweeps below cannot change the carry — one row-min sweep
+    # decides. Exact (a skipped tile provably contributes nothing); on
+    # spatially coherent clouds most far-apart tiles skip.
+    row_min = jnp.min(d2, axis=1, keepdims=True)          # (TN, 1)
+    improves = jnp.any(row_min < cd[...][:, k - 1:k])
 
-    carry = (d2, jnp.zeros((TN, k), jnp.float32),
-             jnp.zeros((TN, k), jnp.int32))
-    if unroll:
-        for j in range(k):
-            carry = bbody(j, carry)
-        _, bk_d, bk_i = carry
-    else:
-        _, bk_d, bk_i = jax.lax.fori_loop(0, k, bbody, carry)
+    @pl.when(improves)
+    def _select():
+        # block top-k by k argmin-extract passes over the (TN, TM) block
+        def bbody(j, carry):
+            d2, bk_d, bk_i = carry
+            amd = jnp.min(d2, axis=1)                     # (TN,)
+            am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            hit = col == am[:, None]
+            bk_d = jnp.where(colk == j, amd[:, None], bk_d)
+            bk_i = jnp.where(colk == j, (am + phys * tile_m)[:, None], bk_i)
+            return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
 
-    # merge the sorted carry with the sorted block list: k argmin-extract
-    # passes over (TN, 2k). Carry columns come FIRST, so exact-tie argmin
-    # picks the earlier m-tile's (lower) global index — matching lax.top_k's
-    # stable ordering; both inputs being (distance, index)-sorted keeps the
-    # result sorted by induction.
-    md = jnp.concatenate([cd[...], bk_d], axis=1)         # (TN, 2k)
-    mi_idx = jnp.concatenate([ci[...], bk_i], axis=1)
-    col2k = jax.lax.broadcasted_iota(jnp.int32, (TN, 2 * k), 1)
+        carry = (d2, jnp.zeros((TN, k), jnp.float32),
+                 jnp.zeros((TN, k), jnp.int32))
+        if unroll:
+            for j in range(k):
+                carry = bbody(j, carry)
+            _, bk_d, bk_i = carry
+        else:
+            _, bk_d, bk_i = jax.lax.fori_loop(0, k, bbody, carry)
 
-    def mbody(j, carry):
-        md, nd, ni = carry
-        amd = jnp.min(md, axis=1)
-        am = jnp.argmin(md, axis=1).astype(jnp.int32)
-        hit = col2k == am[:, None]
-        picked = jnp.sum(jnp.where(hit, mi_idx, 0), axis=1)
-        nd = jnp.where(colk == j, amd[:, None], nd)
-        ni = jnp.where(colk == j, picked[:, None], ni)
-        return jnp.where(hit, jnp.inf, md), nd, ni
+        # merge the sorted carry with the sorted block list: k
+        # argmin-extract passes over (TN, 2k), LEXICOGRAPHIC on
+        # (distance, global index) so exact ties break to the lowest index
+        # under ANY m-tile visiting order (diag_order visits tiles out of
+        # ascending-m order). The equality mask compares COPIED bits (md
+        # entries are verbatim d2/carry copies), not recomputed floats —
+        # safe per the excess-precision rule. Both inputs being sorted
+        # keeps the result sorted by induction.
+        md = jnp.concatenate([cd[...], bk_d], axis=1)     # (TN, 2k)
+        mi_idx = jnp.concatenate([ci[...], bk_i], axis=1)
+        BIG = jnp.int32(2 ** 30)
 
-    _, nd, ni = jax.lax.fori_loop(
-        0, k, mbody, (md, jnp.zeros((TN, k), jnp.float32),
-                      jnp.zeros((TN, k), jnp.int32)))
-    cd[...] = nd
-    ci[...] = ni
+        def mbody(j, carry):
+            md, nd, ni = carry
+            amd = jnp.min(md, axis=1)                     # (TN,)
+            tie = md == amd[:, None]
+            picked = jnp.min(jnp.where(tie, mi_idx, BIG), axis=1)
+            hit = tie & (mi_idx == picked[:, None])
+            nd = jnp.where(colk == j, amd[:, None], nd)
+            ni = jnp.where(colk == j, picked[:, None], ni)
+            return jnp.where(hit, jnp.inf, md), nd, ni
+
+        _, nd, ni = jax.lax.fori_loop(
+            0, k, mbody, (md, jnp.zeros((TN, k), jnp.float32),
+                          jnp.zeros((TN, k), jnp.int32)))
+        cd[...] = nd
+        ci[...] = ni
 
     @pl.when(mi == pl.num_programs(2) - 1)
     def _flush():
@@ -196,10 +297,12 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
-                                             "interpret", "unroll"))
+                                             "interpret", "unroll",
+                                             "diag_order"))
 def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
                tile_n: int = 256, tile_m: int = 4096,
-               interpret: bool = False, unroll: bool = True) -> jnp.ndarray:
+               interpret: bool = False, unroll: bool = True,
+               diag_order: bool = False) -> jnp.ndarray:
     """(B,N,C) x (B,M,C) -> int32 (B,N,k) ascending distance, M streamed.
 
     Semantics match ops/common.py:knn (lax.top_k over clamped distances:
@@ -212,21 +315,34 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     (256, 2048, rolled) — the rolled fori_loop carries the (TN, TM) block
     as loop state and Mosaic rematerialises it every pass, and wide
     lane-dim tiles beat tall sublane tiles (tn1024/tm512 was 441 ms).
+
+    `diag_order=True` visits m-tiles nearest the diagonal first so the
+    per-tile skip gate (no row improves its k-th best -> skip the ~4k
+    selection sweeps) engages early — effective when query and target index
+    order are spatially correlated (see knn_self_spatial). Results are
+    identical either way (the merge is lexicographic on (distance, index)).
     """
     B, N, C = src.shape
     M = tgt.shape[1]
     tile_n = min(tile_n, N)
     tile_m = min(tile_m, M)
     assert tile_m >= k and M >= k, (tile_m, M, k)
-    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
-    kern = functools.partial(_knn_stream_kernel, k=k, tile_m=tile_m,
-                             n_valid_m=M, unroll=unroll)
+    n_m = pl.cdiv(M, tile_m)
+    grid = (B, pl.cdiv(N, tile_n), n_m)
+    kern = functools.partial(_knn_stream_kernel, k=k, tile_n=tile_n,
+                             tile_m=tile_m, n_valid_m=M, n_m=n_m,
+                             unroll=unroll, diag_order=diag_order)
+    if diag_order:
+        tgt_map = lambda b, i, m: (
+            b, _diag_first(i, m, n_m=n_m, tile_n=tile_n, tile_m=tile_m), 0)
+    else:
+        tgt_map = lambda b, i, m: (b, m, 0)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_m, C), lambda b, i, m: (b, m, 0),
+                  pl.BlockSpec((1, tile_m, C), tgt_map,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, tile_n, k), lambda b, i, m: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -235,6 +351,60 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
                         pltpu.VMEM((tile_n, k), jnp.int32)],
         interpret=interpret,
     )(src.astype(jnp.float32), tgt.astype(jnp.float32))
+
+
+def _morton3(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 3) -> (B, N) uint32 Morton (Z-order) codes, 10 bits/axis.
+
+    Normalises per cloud to the bounding box; the interleave is the
+    standard bit-spread. Used only to SORT points — any spatially smooth
+    code works, correctness never depends on it.
+    """
+    mn = x.min(axis=1, keepdims=True)
+    mx = x.max(axis=1, keepdims=True)
+    q = ((x - mn) / jnp.maximum(mx - mn, 1e-9) * 1023.0)
+    q = jnp.clip(q, 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+            | (spread(q[..., 2]) << 2))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
+                                             "interpret"))
+def knn_self_spatial(x: jnp.ndarray, k: int,
+                     tile_n: int = 256, tile_m: int = 4096,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Self-graph kNN with a Morton pre-sort: (B, N, 3) -> (B, N, k).
+
+    Sorting the cloud along a Z-order curve makes index locality track
+    spatial locality, so knn_stream's diagonal-first visiting order finds
+    each row's true k nearest in the first few tiles and the per-tile skip
+    gate cancels the selection sweeps for the rest — the asymptotics stay
+    O(N^2) (every distance block is still computed) but the dominant
+    selection cost collapses on real (surface-like) scans. Indices are
+    mapped back to the ORIGINAL point order; per-row neighbour order stays
+    ascending-distance. Exact-tie index choice can differ from lax.top_k
+    (ties resolve by sorted position, not original index) — all model
+    consumers max-pool over k, so this is unobservable there.
+    """
+    B, N, _ = x.shape
+    order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)   # (B, N)
+    xs = jnp.take_along_axis(x, order[..., None], axis=1)
+    idx_s = knn_stream(xs, xs, k, tile_n=tile_n, tile_m=tile_m,
+                       interpret=interpret, diag_order=True)      # sorted ids
+    # sorted-space neighbour ids -> original ids
+    orig = jnp.take_along_axis(order, idx_s.reshape(B, -1),
+                               axis=1).reshape(B, N, k)
+    # row r of idx_s describes original point order[b, r]: scatter rows back
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(orig, inv[..., None], axis=1)
 
 
 # --------------------------------------------------------------------------

@@ -69,23 +69,42 @@ def main():
         print(f"knn_stream {label}: {per:.1f} ms for {B} clouds "
               f"({per/B:.1f} ms/cloud)", flush=True)
 
-    # 1-NN for scale (the ICP inner op at indoor)
-    def scanned1(xs):
-        def body(c, x):
-            d, i = nn1_stream(x, x)
-            return c + i.sum(dtype=jnp.int32), None
-        return jax.lax.scan(body, jnp.zeros((), jnp.int32), xs)[0]
+    # 1-NN variants (the ICP inner op at indoor: 30 trips ride on this)
+    from ogmm_tpu.ops.pallas_stream import nn1_stream_t
+    nn1_variants = [
+        ("nn1_stream  tn256 tm2048", nn1_stream,
+         dict(tile_n=256, tile_m=2048)),
+        ("nn1_stream  tn256 tm8192", nn1_stream,
+         dict(tile_n=256, tile_m=8192)),
+        ("nn1_streamT tn512 tm4096", nn1_stream_t,
+         dict(tile_n=512, tile_m=4096)),
+        ("nn1_streamT tn512 tm8192", nn1_stream_t,
+         dict(tile_n=512, tile_m=8192)),
+        ("nn1_streamT tn1024 tm8192", nn1_stream_t,
+         dict(tile_n=1024, tile_m=8192)),
+    ]
+    for label, fn, kw in nn1_variants:
+        def scanned1(xs, _fn=fn, _kw=kw):
+            def body(c, x):
+                d, i = _fn(x, x, **_kw)
+                return c + i.sum(dtype=jnp.int32), None
+            return jax.lax.scan(body, jnp.zeros((), jnp.int32), xs)[0]
 
-    f = jax.jit(scanned1)
-    np.asarray(f(stack(0)))
-    ts = []
-    for seed in (4, 5, 6):
-        xs = stack(seed)
-        t0 = time.perf_counter()
-        np.asarray(f(xs))
-        ts.append(time.perf_counter() - t0)
-    per = (min(ts) - rtt) / R * 1e3
-    print(f"nn1_stream tn256 tm2048: {per:.1f} ms for {B} clouds", flush=True)
+        f = jax.jit(scanned1)
+        try:
+            np.asarray(f(stack(0)))
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            continue
+        ts = []
+        for seed in (4, 5, 6):
+            xs = stack(seed)
+            t0 = time.perf_counter()
+            np.asarray(f(xs))
+            ts.append(time.perf_counter() - t0)
+        per = (min(ts) - rtt) / R * 1e3
+        print(f"{label}: {per:.1f} ms for {B} clouds", flush=True)
 
 
 if __name__ == "__main__":

@@ -288,3 +288,66 @@ def test_wproject_stream_lse_matches_dense(rng):
     ref = jax.nn.logsumexp(sim, axis=-1)[..., None]
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_nn1_stream_t_matches_dense(rng):
+    """Transposed-layout 1-NN (channels on sublanes) vs the dense reference.
+    The kernel minimises r = |t|^2 - 2<q,t> (row-constant |q|^2 added at
+    flush) — same exact math, but different fp rounding than the d2
+    expression, so near-ties may legitimately pick the other of two
+    equidistant points; assert index equality OR distance equality."""
+    from ogmm_tpu.ops.pallas_stream import nn1_stream_t
+    src, tgt = _clouds(rng)
+    dm = np.asarray(square_distance(src, tgt))
+    ref_i = dm.argmin(-1)
+    ref_d = dm.min(-1)
+    d, i = nn1_stream_t(src, tgt, tile_n=64, tile_m=32, interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    same = i == ref_i
+    np.testing.assert_allclose(d[~same],
+                               dm[np.nonzero(~same)[0], np.nonzero(~same)[1],
+                                  i[~same]], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-4, atol=1e-6)
+    assert same.mean() > 0.99
+    # exact duplicate ties (constructed in _clouds) must break to the
+    # lowest index like the dense argmin
+    assert np.all(i[:, 5] == ref_i[:, 5])
+
+
+def test_knn_stream_diag_order_matches_ascending(rng):
+    """Diagonal-first tile visiting + lexicographic merge must produce
+    EXACTLY the ascending-order result (incl. exact ties)."""
+    src, tgt = _clouds(rng)
+    ref = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True)
+    out = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True,
+                     diag_order=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # and both equal the dense reference
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(knn(src, tgt, 8, use_pallas=False)))
+
+
+def test_knn_self_spatial_same_neighbour_sets(rng):
+    """Morton-sorted self-kNN returns the same (point, distance) sets as
+    the dense reference; tie INDEX choice may differ, so compare gathered
+    neighbour distances row-wise (sorted ascending in both)."""
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial
+
+    # spatially coherent surface-like cloud (the indoor shape class)
+    u = rng.rand(2, 300, 2).astype(np.float32)
+    z = (np.sin(3 * u[..., :1]) * np.cos(2 * u[..., 1:])).astype(np.float32)
+    x = jnp.asarray(np.concatenate([u, 0.3 * z], axis=-1))
+
+    ref = knn(x, x, 10, use_pallas=False)
+    out = knn_self_spatial(x, 10, tile_n=64, tile_m=64, interpret=True)
+
+    pts = np.asarray(x)
+    for b in range(2):
+        d_ref = np.linalg.norm(pts[b][np.asarray(ref)[b]] - pts[b][:, None],
+                               axis=-1)
+        d_out = np.linalg.norm(pts[b][np.asarray(out)[b]] - pts[b][:, None],
+                               axis=-1)
+        np.testing.assert_allclose(d_out, d_ref, rtol=1e-5, atol=1e-6)
+    # self is always the nearest neighbour of itself
+    np.testing.assert_array_equal(np.asarray(out)[..., 0],
+                                  np.arange(300)[None].repeat(2, 0))
