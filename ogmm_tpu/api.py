@@ -93,6 +93,28 @@ class Registrar:
                      'batch_stats': restored.batch_stats}
         return cls(cfg, variables=variables)
 
+    @classmethod
+    def from_weights(cls, path: str,
+                     cfg: Optional[Config] = None) -> "Registrar":
+        """Restore from a weights-only .npz written by
+        `train.checkpoint.export_weights` (single file, params + batch_stats
+        + embedded Config — the committable serving artifact; the orbax
+        checkpoints carry the full optimizer state for resume instead)."""
+        from ogmm_tpu.train.checkpoint import load_weights
+        variables, saved = load_weights(path)
+        if cfg is None:
+            if saved is None:
+                raise ValueError(
+                    f"{path!r} embeds no config — pass cfg= explicitly")
+            cfg = saved
+        return cls(cfg, variables=variables,
+                   example_n=cfg.data.n_points)
+
+    def export_weights(self, path: str) -> None:
+        """Write this Registrar's weights as a single-file .npz artifact."""
+        from ogmm_tpu.train.checkpoint import export_weights
+        export_weights(self.variables, path, self.cfg)
+
     def __call__(self, src, tgt, refine: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Register src onto tgt.

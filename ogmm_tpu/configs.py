@@ -96,6 +96,11 @@ class TrainConfig:
     # them; 1 = reference-faithful per-step metrics, >1 trims the measured
     # ~22% train-step tail (profiles/r2/PROFILE.md). Eval is never thinned.
     metrics_every: int = 1
+    # full test-split eval every k-th epoch (reference: every epoch,
+    # train.py:227-239 — the default). The final epoch always evaluates.
+    # On a 1-core host the eval data pipeline costs about as much wall time
+    # as a train epoch; long accuracy runs set k=5-10.
+    eval_every: int = 1
     model_path: str = "checkpoints"
     # TPU execution
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh; -1 = all devices

@@ -23,6 +23,66 @@ from ogmm_tpu.configs import Config, config_from_dict, config_to_dict
 from ogmm_tpu.train.state import TrainState
 
 
+def _flatten(tree, prefix: str = "") -> dict:
+    from collections.abc import Mapping
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def export_weights(variables: dict, path: str,
+                   cfg: Optional[Config] = None) -> None:
+    """Write a single-file weights-only artifact (.npz).
+
+    The orbax CheckpointManager below persists the FULL train state (135 MB
+    at the mnet geometry — params + Adam moments + stats); this is the
+    lightweight serving counterpart of the reference's weights-only
+    state_dict files (lib/metric.py:293-297): just params + batch_stats
+    (~33 MB), plus the Config embedded as JSON so the file is
+    self-describing. Restore with `load_weights` / `Registrar.from_weights`.
+    """
+    arrays = {}
+    for coll in ("params", "batch_stats"):
+        if variables.get(coll):
+            arrays.update(_flatten(jax.device_get(variables[coll]),
+                                   prefix=coll))
+    if cfg is not None:
+        arrays["__config__"] = np.frombuffer(
+            json.dumps(config_to_dict(cfg), default=str).encode(), np.uint8)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+
+
+def load_weights(path: str):
+    """Read an `export_weights` artifact -> (variables, Config-or-None)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    cfg = None
+    raw = flat.pop("__config__", None)
+    if raw is not None:
+        cfg = config_from_dict(json.loads(raw.tobytes().decode()))
+    nested = _unflatten(flat)
+    variables = {k: nested[k] for k in ("params", "batch_stats")
+                 if k in nested}
+    return variables, cfg
+
+
 class CheckpointManager:
     def __init__(self, root: str, model_name: str = "GMMReg",
                  cfg: Optional[Config] = None):

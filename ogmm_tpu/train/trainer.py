@@ -275,8 +275,18 @@ class Trainer:
 
     def fit(self, train_loader, test_loader, epochs: Optional[int] = None):
         epochs = epochs if epochs is not None else self.cfg.train.epochs
+        # eval cadence: the reference interleaves a full test-split eval
+        # every epoch (train.py:227-239) — the default here. On a 1-core
+        # host the eval pipeline costs about as much wall time as the train
+        # epoch itself, so long accuracy runs can thin it with
+        # cfg.train.eval_every=k (always evaluating the final epoch);
+        # best-checkpoint tracking then samples every k-th epoch.
+        every = max(1, getattr(self.cfg.train, 'eval_every', 1))
         for epoch in range(epochs):
             train_summary = self.train_epoch(epoch, train_loader)
+            if (epoch + 1) % every and epoch != epochs - 1:
+                self.history.append({'train': train_summary})
+                continue
             val_summary = self.eval_epoch(epoch, test_loader)
             self.history.append({'train': train_summary, 'val': val_summary})
             if self.checkpointer is not None:

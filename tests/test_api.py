@@ -125,3 +125,33 @@ def test_checkpoint_config_guard(tmp_path, rng):
     with pytest.raises(FileNotFoundError):
         Registrar.from_checkpoint(ghost)
     assert not os.path.exists(ghost)
+
+
+def test_weights_export_roundtrip(tmp_path, rng):
+    """export_weights -> from_weights: single-file artifact reproduces the
+    source Registrar bit-for-bit (params, batch_stats, and the embedded
+    Config all survive)."""
+    import jax
+    from ogmm_tpu.train.checkpoint import export_weights, load_weights
+
+    cfg = _cfg()
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, n_points=48))
+    reg = Registrar(cfg, example_n=48, seed=3)
+    path = str(tmp_path / "weights.npz")
+    reg.export_weights(path)
+
+    variables, saved_cfg = load_weights(path)
+    assert saved_cfg == cfg
+    for a, b in zip(jax.tree.leaves(variables),
+                    jax.tree.leaves(jax.device_get(reg.variables))):
+        np.testing.assert_array_equal(a, b)
+
+    reg2 = Registrar.from_weights(path)          # cfg comes from the file
+    assert reg2.cfg == cfg
+    src = rng.randn(2, 48, 3).astype(np.float32)
+    tgt = rng.randn(2, 48, 3).astype(np.float32)
+    r1, t1, s1, _ = reg(src, tgt, refine=False)
+    r2, t2, s2, _ = reg2(src, tgt, refine=False)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

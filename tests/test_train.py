@@ -265,3 +265,19 @@ def test_assemble_global_batch_guards_row_ownership(setup):
     batch = {'x': np.arange(8 * 3, dtype=np.float32).reshape(8, 3)}
     with pytest.raises(NotImplementedError):
         assemble_global_batch(batch, shard, process_count=2, process_index=1)
+
+
+def test_eval_every_cadence(setup, tmp_path):
+    """cfg.train.eval_every=k: the test-split eval runs on every k-th epoch
+    and on the final epoch; skipped epochs record train-only history."""
+    import dataclasses
+    from ogmm_tpu.train.trainer import Trainer
+    cfg, batch, model, state, tx = setup
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, eval_every=3,
+                                                epochs=4))
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    loader = [batch]
+    tr = Trainer(cfg, model, state, tx)
+    hist = tr.fit(loader, loader, epochs=4)
+    has_val = ['val' in h for h in hist]
+    assert has_val == [False, False, True, True]   # (2+1)%3==0, final always

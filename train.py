@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument('--epochs', type=int, default=None)
     p.add_argument('--lr', type=float, default=None)
     p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--eval_every', type=int, default=None,
+                   help='full test-split eval every k-th epoch (default 1 '
+                        '= reference-faithful; final epoch always evals)')
     p.add_argument('--metrics_every', type=int, default=None,
                    help='full dcp_metrics every k-th train step (1 = every '
                         'step like the reference; >1 trims the step tail)')
@@ -51,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument('--steps_per_epoch', type=int, default=None,
                    help='cap optimizer steps per epoch (smoke runs)')
     p.add_argument('--eval_only', action='store_true')
+    p.add_argument('--export_weights', type=str, default=None,
+                   help='after fit, write the best checkpoint as a single '
+                        'weights-only .npz (params+stats+config)')
     p.add_argument('--profile_dir', type=str, default=None,
                    help='capture a jax.profiler trace of epoch-0 steps 5-10')
     p.add_argument('--multihost', action='store_true',
@@ -77,7 +83,7 @@ def build_config(args):
     if args.root == 'synthetic' and args.dataset is None:
         data_kw['dataset'] = 'synthetic'
     for k in ('batch_size', 'test_batch_size', 'epochs', 'lr', 'seed',
-              'metrics_every', 'model_path'):
+              'metrics_every', 'eval_every', 'model_path'):
         v = getattr(args, k)
         if v is not None:
             train_kw[k] = v
@@ -156,6 +162,15 @@ def main(argv=None):
                       log=logger.info)
     else:
         trainer.fit(train_loader, test_loader, epochs=cfg.train.epochs)
+        if args.export_weights:
+            from ogmm_tpu.train.checkpoint import export_weights
+            best = ckpt.restore(trainer.state) if ckpt.has_best() else None
+            src = best if best is not None else trainer.state
+            export_weights({'params': src.params,
+                            'batch_stats': src.batch_stats},
+                           args.export_weights, cfg)
+            logger.info("exported weights-only artifact to %s",
+                        args.export_weights)
     return trainer
 
 
