@@ -54,6 +54,13 @@ class ModelConfig:
     # it. None = auto by size (B*N*M > 64Mi elements — the indoor ~35k regime
     # where the dense matrix would be ~4.9 GB, models/gmmreg.py:74-89).
     overlap_stream: bool | None = None
+    # rematerialise the attention blocks + conv heads in the backward pass
+    # (nn.remat): the train step is HBM-bandwidth-bound at ~100% of the
+    # roofline while the MXU idles at 26% MFU (profiles/r3/PROFILE.md), so
+    # recomputing the tail's activations instead of storing them trades idle
+    # FLOPs for the bytes that actually bound the step. Opt-in pending an
+    # on-chip A/B (repo rule: measure before keeping).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

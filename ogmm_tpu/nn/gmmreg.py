@@ -20,6 +20,7 @@ starts, the reference's unseeded-randint behaviour, lib/utils.py:190).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -135,13 +136,35 @@ class GMMReg(nn.Module):
         dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
                       fused_train=cfg.dgcnn_fused_train)
         pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
-        sattn1 = TransformerBlock(D, cfg.num_heads, dt)
-        cattn = TransformerBlock(D, cfg.num_heads, dt)
-        sattn2 = TransformerBlock(D, cfg.num_heads, dt)
-        conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
-        conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
-        proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name, dtype=dt)
-        overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+        _sattn1 = TransformerBlock(D, cfg.num_heads, dt)
+        _cattn = TransformerBlock(D, cfg.num_heads, dt)
+        _sattn2 = TransformerBlock(D, cfg.num_heads, dt)
+        _conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+        _conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+        _proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name, dtype=dt)
+        _overlap = ConvHead(1, D // 2, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
+
+        # cfg.remat: checkpoint the attention blocks + conv heads so their
+        # internal activations are recomputed in the backward instead of
+        # stored — the train step is HBM-roofline-bound with the MXU 74%
+        # idle (profiles/r3/PROFILE.md), exactly the regime where remat
+        # converts spare FLOPs into the bytes that bound the step. The
+        # FUNCTION-target form of nn.remat keeps the modules' own scopes, so
+        # param trees/checkpoints interchange with the plain path (the class
+        # form would rename them Checkpoint*); `train` is closed over, hence
+        # static.
+        tb_call = (lambda m, x, a: m(x, a, train))
+        ch_call = (lambda m, x: m(x, train))
+        if cfg.remat:
+            tb_call = nn.remat(tb_call)
+            ch_call = nn.remat(ch_call)
+        sattn1 = partial(tb_call, _sattn1)
+        cattn = partial(tb_call, _cattn)
+        sattn2 = partial(tb_call, _sattn2)
+        conv1 = partial(ch_call, _conv1)
+        conv2 = partial(ch_call, _conv2)
+        proj = partial(ch_call, _proj)
+        overlap = partial(ch_call, _overlap)
 
         # --- FPS anchors (reference get_anchor_corrs, random-start FPS) ----
         # Documented divergence (PARITY.md "eval anchor start"): the reference
@@ -189,14 +212,14 @@ class GMMReg(nn.Module):
             t_all = feats + pos_enc(
                 both, cfg.pos_k, train,
                 nbr_idx=None if g_both is None else g_both[..., :cfg.pos_k])
-            t_all = conv1(sattn1(t_all, anchor0, train) + t_all, train)
+            t_all = conv1(sattn1(t_all, anchor0) + t_all)
 
             anchor1 = index_points(t_all, ids[1])
             swapped = jnp.concatenate([anchor1[B:], anchor1[:B]], axis=0)
-            f_all = cattn(t_all, swapped, train) + t_all
+            f_all = cattn(t_all, swapped) + t_all
 
             src_f, tgt_f = f_all[:B], f_all[B:]
-            o_all = proj(f_all, train)                          # (2B, N, 1)
+            o_all = proj(f_all)                          # (2B, N, 1)
             src_o, tgt_o = o_all[:B], o_all[B:]
             if stream_overlap:
                 fn_all = norm32(f_all)
@@ -210,13 +233,12 @@ class GMMReg(nn.Module):
                 tgt_wo = jnp.einsum('bnm,bnd->bmd',
                                     jax.nn.softmax(sim, axis=1), tgt_o)
             wo_all = jnp.concatenate([src_wo, tgt_wo], axis=0)
-            fo_all = conv2(jnp.concatenate([f_all, wo_all, o_all], axis=-1),
-                           train)
+            fo_all = conv2(jnp.concatenate([f_all, wo_all, o_all], axis=-1))
             o_all = nn.sigmoid(
-                overlap(fo_all, train).astype(jnp.float32)).reshape(2 * B, N)
+                overlap(fo_all).astype(jnp.float32)).reshape(2 * B, N)
 
             anchor2 = index_points(f_all, ids[2])
-            f_all = (sattn2(f_all, anchor2, train) + f_all).astype(jnp.float32)
+            f_all = (sattn2(f_all, anchor2) + f_all).astype(jnp.float32)
 
             g_all, pi_all, n_all, nf_all = wkeans_plus(
                 both, f_all, o_all, cfg.n_clusters, iters=cfg.em_iters,
@@ -253,21 +275,21 @@ class GMMReg(nn.Module):
                 nbr_idx=None if g_tgt is None else g_tgt[..., :pk])
 
             # --- stage 1: anchor-conditioned self-attention ----------------
-            src_t = conv1(sattn1(src_t, src_anchor0, train) + src_t, train)
-            tgt_t = conv1(sattn1(tgt_t, tgt_anchor0, train) + tgt_t, train)
+            src_t = conv1(sattn1(src_t, src_anchor0) + src_t)
+            tgt_t = conv1(sattn1(tgt_t, tgt_anchor0) + tgt_t)
 
             # --- stage 2: cross-attention via anchors ----------------------
             src_anchor1 = index_points(src_t, src_ids[1])
             tgt_anchor1 = index_points(tgt_t, tgt_ids[1])
-            src_f = cattn(src_t, tgt_anchor1, train) + src_t
-            tgt_f = cattn(tgt_t, src_anchor1, train) + tgt_t
+            src_f = cattn(src_t, tgt_anchor1) + src_t
+            tgt_f = cattn(tgt_t, src_anchor1) + tgt_t
 
             # --- overlap head -----------------------------------------------
             # (reference models/gmmreg.py:74-89; note the reference weights
             # the *source* scores by src_o gathered along the target axis — a
             # quirk that requires N == M and is preserved bit-for-bit here)
-            src_o = proj(src_f, train)                         # (B, N, 1)
-            tgt_o = proj(tgt_f, train)
+            src_o = proj(src_f)                         # (B, N, 1)
+            tgt_o = proj(tgt_f)
             if stream_overlap:
                 src_wo, tgt_wo = _overlap_wproject(
                     norm32(src_f), norm32(tgt_f), src_o, tgt_o)
@@ -278,23 +300,21 @@ class GMMReg(nn.Module):
                                     jax.nn.softmax(sim, axis=-1), src_o)
                 tgt_wo = jnp.einsum('bnm,bnd->bmd',
                                     jax.nn.softmax(sim, axis=1), tgt_o)
-            src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1),
-                           train)
-            tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1),
-                           train)
+            src_fo = conv2(jnp.concatenate([src_f, src_wo, src_o], axis=-1))
+            tgt_fo = conv2(jnp.concatenate([tgt_f, tgt_wo, tgt_o], axis=-1))
             # overlap scores feed clustering weights + the loss: fp32 out
             src_o = nn.sigmoid(
-                overlap(src_fo, train).astype(jnp.float32)).reshape(B, N)
+                overlap(src_fo).astype(jnp.float32)).reshape(B, N)
             tgt_o = nn.sigmoid(
-                overlap(tgt_fo, train).astype(jnp.float32)).reshape(B, M)
+                overlap(tgt_fo).astype(jnp.float32)).reshape(B, M)
 
             # --- stage 3: second self-attention ----------------------------
             src_anchor2 = index_points(src_f, src_ids[2])
             tgt_anchor2 = index_points(tgt_f, tgt_ids[2])
             # back to fp32: everything downstream is geometry (clustering
             # EM, cosine matching, Procrustes) + the contrastive loss
-            src_f = (sattn2(src_f, src_anchor2, train) + src_f).astype(jnp.float32)
-            tgt_f = (sattn2(tgt_f, tgt_anchor2, train) + tgt_f).astype(jnp.float32)
+            src_f = (sattn2(src_f, src_anchor2) + src_f).astype(jnp.float32)
+            tgt_f = (sattn2(tgt_f, tgt_anchor2) + tgt_f).astype(jnp.float32)
 
             # --- overlap-guided clustering (models/gmmreg.py:100-101) ------
             s_gamma, s_pi, s_nodes, s_nfeats = wkeans_plus(

@@ -69,6 +69,57 @@ def main():
         print(f"knn_stream {label}: {per:.1f} ms for {B} clouds "
               f"({per/B:.1f} ms/cloud)", flush=True)
 
+    # self-kNN spatial variants: Morton pre-sort + diagonal-first + skip
+    # gate (ops/pallas_stream.py:knn_self_spatial). Measured on BOTH a
+    # volumetric gaussian cloud and a surface-like cloud (random smooth
+    # height field — the indoor datasets are 2D manifolds in 3D, where the
+    # skip-gate thesis predicts the largest win).
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial
+
+    def surface_stack(seed):
+        g = np.random.RandomState(seed)
+        uv = g.rand(R, B, N, 2).astype(np.float32) * 4 - 2
+        z = np.zeros((R, B, N), np.float32)
+        for _ in range(6):
+            w = g.randn(2).astype(np.float32) * 2
+            ph = g.rand() * 6.28
+            z += 0.3 * np.sin(uv @ w + ph).astype(np.float32)
+        return jnp.asarray(np.concatenate([uv, z[..., None]], -1))
+
+    spatial_variants = [
+        ("plain   tn256 tm4096", lambda x: knn_stream(
+            x, x, k, tile_n=256, tile_m=4096)),
+        ("spatial tn256 tm4096", lambda x: knn_self_spatial(
+            x, k, tile_n=256, tile_m=4096)),
+        ("spatial tn128 tm4096", lambda x: knn_self_spatial(
+            x, k, tile_n=128, tile_m=4096)),
+        ("spatial tn256 tm2048", lambda x: knn_self_spatial(
+            x, k, tile_n=256, tile_m=2048)),
+    ]
+    for make, dist in ((stack, "gauss"), (surface_stack, "surface")):
+        for label, fn in spatial_variants:
+            def scanned_s(xs, _fn=fn):
+                def body(c, x):
+                    return c + _fn(x).sum(dtype=jnp.int32), None
+                return jax.lax.scan(body, jnp.zeros((), jnp.int32), xs)[0]
+
+            f = jax.jit(scanned_s)
+            try:
+                np.asarray(f(make(0)))
+            except Exception as e:
+                print(f"{dist} {label}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            ts = []
+            for seed in (7, 8, 9):
+                xs = make(seed)
+                t0 = time.perf_counter()
+                np.asarray(f(xs))
+                ts.append(time.perf_counter() - t0)
+            per = (min(ts) - rtt) / R * 1e3
+            print(f"selfknn {dist:7s} {label}: {per:.1f} ms for {B} clouds "
+                  f"({per/B:.1f} ms/cloud)", flush=True)
+
     # 1-NN variants (the ICP inner op at indoor: 30 trips ride on this)
     from ogmm_tpu.ops.pallas_stream import nn1_stream_t
     nn1_variants = [

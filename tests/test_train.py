@@ -281,3 +281,40 @@ def test_eval_every_cadence(setup, tmp_path):
     hist = tr.fit(loader, loader, epochs=4)
     has_val = ['val' in h for h in hist]
     assert has_val == [False, False, True, True]   # (2+1)%3==0, final always
+
+
+def test_remat_train_step_matches(setup):
+    """cfg.model.remat=True (checkpointed attention/conv-head tail): the
+    param tree is interchangeable with the plain model and one train step
+    produces the same loss/params to fp tolerance — remat only changes WHEN
+    activations are computed, never what."""
+    import dataclasses
+    cfg, batch, model, state, tx = setup
+    rcfg = cfg.replace(model=dataclasses.replace(cfg.model, remat=True))
+    from ogmm_tpu.train.state import build_model
+    rmodel = build_model(rcfg)
+    dev_batch = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
+
+    src = dev_batch['src_xyz']
+    tgt = dev_batch['tgt_xyz']
+
+    def loss_of(m):
+        def f(params):
+            out, _ = m.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                src, tgt, train=True, mutable=['batch_stats'])
+            rot, trans, so, to, clu = out
+            return (rot.sum() + trans.sum() + so.sum() + to.sum()
+                    + clu).astype(jnp.float32)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_of(model))(state.params)
+    l1, g1 = jax.value_and_grad(loss_of(rmodel))(state.params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # fp reassociation under recompute shifts individual grad entries at
+    # roundoff scale (Adam's sign-like first step would amplify that, so
+    # compare the raw gradient vector): global relative L2 error
+    v0 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g0)])
+    v1 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g1)])
+    rel = np.linalg.norm(v0 - v1) / np.linalg.norm(v0)
+    assert rel < 1e-5, rel
