@@ -22,13 +22,16 @@ from ogmm_tpu.core.procrustes import rigid_transform
 from ogmm_tpu.ops.common import gather_neighbors, knn, nn1
 
 
-@partial(jax.jit, static_argnames=("max_iter", "method", "use_pallas"))
+@partial(jax.jit, static_argnames=("threshold", "max_iter", "method",
+                                   "use_pallas", "use_grid", "grid_cap"))
 def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
                        init_pose: jnp.ndarray,
                        threshold: float,
                        max_iter: int = 30,
                        method: str = "horn_pi",
-                       use_pallas: bool | None = None
+                       use_pallas: bool | None = None,
+                       use_grid: bool | None = None,
+                       grid_cap: int = 32
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Refine an initial rigid transform by fixed-iteration point-to-point ICP.
 
@@ -38,17 +41,30 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
       init_pose: (B, 4, 4) or (B, 3, 4) initial transform (maps src -> tgt).
       threshold: correspondence distance gate (Open3D's
         `max_correspondence_distance`; reference uses 2*voxel_size,
-        lib/o3dutils.py:175).
+        lib/o3dutils.py:175). Static: it sizes the grid cells below.
       max_iter: fixed trip count (Open3D default ICP max_iteration=30).
       method: Procrustes backend per iteration; 'horn_pi' (shifted power
         iteration) is ~20% faster than the eigh solve over 30 trips at
         equivalent refinement accuracy (RRE within 0.01 deg on chip).
+      use_grid: route the per-trip 1-NN through a uniform grid built once
+        from the static target (ops/grid_nn.py) — exact under the inlier
+        gate (every point within `threshold` is a candidate; everything
+        farther is gated to weight 0 on both paths). None = auto at
+        M > 4096, where a dense/streamed 1-NN would pay O(N*M) per trip.
+      grid_cap: candidate-window size per stencil cell (see grid_nn.py).
 
     Returns: (rot (B,3,3), trans (B,3)) refined transform.
     """
     thresh_sq = threshold * threshold
     rot0 = init_pose[..., :3, :3]
     t0 = init_pose[..., :3, 3]
+    M = tgt.shape[1]
+    if use_grid is None:
+        use_grid = M > 4096
+    grid = None
+    if use_grid:
+        from ogmm_tpu.ops.grid_nn import build_grid, nn1_radius
+        grid = build_grid(tgt, cell=threshold)     # once; trips reuse it
 
     # NB: a whole-loop fused kernel exists (ops/pallas_icp.py, interpreter
     # parity in tests/test_icp.py) but measured 13.0 ms vs 5.6 ms for this
@@ -60,12 +76,16 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
                            precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        # prefer_dense: over 30 scan trips XLA's fused (B, N, M) path wins at
-        # M <= 1024 (5.7 vs 9.5 ms at the bench shape — per-trip kernel glue
-        # costs more than the HBM matrix); larger M routes to the fused /
-        # M-streamed 1-NN kernels (ops/common.py:nn1)
-        nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
-                         use_pallas=use_pallas)
+        if use_grid:
+            nn_d, nn_i = nn1_radius(moved, grid, cell=threshold,
+                                    cap=grid_cap)
+        else:
+            # prefer_dense: over 30 scan trips XLA's fused (B, N, M) path
+            # wins at M <= 1024 (5.7 vs 9.5 ms at the bench shape — per-trip
+            # kernel glue costs more than the HBM matrix); larger M routes
+            # to the fused / M-streamed 1-NN kernels (ops/common.py:nn1)
+            nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
+                             use_pallas=use_pallas)
         corr = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)  # (B, N, 3)
         w = (nn_d < thresh_sq).astype(src.dtype)         # inlier gate
         # guard: if no inliers, keep previous transform via weight-all fallback
@@ -117,14 +137,17 @@ def estimate_normals_knn(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     return vecs[..., 0]                                         # (B, N, 3)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "normal_k", "use_pallas"))
+@partial(jax.jit, static_argnames=("threshold", "max_iter", "normal_k",
+                                   "use_pallas", "use_grid", "grid_cap"))
 def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
                        init_pose: jnp.ndarray,
                        threshold: float,
                        max_iter: int = 30,
                        tgt_normals: jnp.ndarray | None = None,
                        normal_k: int = 16,
-                       use_pallas: bool | None = None
+                       use_pallas: bool | None = None,
+                       use_grid: bool | None = None,
+                       grid_cap: int = 32
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Point-to-plane ICP (reference lib/o3dutils.py:176-185, the pl=True
     branch of refine_registration) — batched Gauss-Newton, fully on device.
@@ -142,14 +165,25 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
     t0 = init_pose[..., :3, 3]
     if tgt_normals is None:
         tgt_normals = estimate_normals_knn(tgt, k=normal_k)
+    M = tgt.shape[1]
+    if use_grid is None:
+        use_grid = M > 4096
+    grid = None
+    if use_grid:
+        from ogmm_tpu.ops.grid_nn import build_grid, nn1_radius
+        grid = build_grid(tgt, cell=threshold)     # once; trips reuse it
 
     def body(carry, _):
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
                            precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
-        # same crossover as icp_point_to_point (ops/common.py:nn1)
-        nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
-                         use_pallas=use_pallas)
+        if use_grid:
+            nn_d, nn_i = nn1_radius(moved, grid, cell=threshold,
+                                    cap=grid_cap)
+        else:
+            # same crossover as icp_point_to_point (ops/common.py:nn1)
+            nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,
+                             use_pallas=use_pallas)
         q = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)       # (B,N,3)
         n = jnp.take_along_axis(tgt_normals, nn_i[..., None], axis=1)
         w = (nn_d < thresh_sq).astype(src.dtype)

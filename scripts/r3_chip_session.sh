@@ -58,6 +58,9 @@ EOF
   step "streamed-kernel A/Bs (spatial self-kNN + transposed 1-NN)"
   timeout 3000 $PY scripts/kernel_ab_stream.py
 
+  step "grid-vs-stream ICP A/B (N=35000, cap sweep)"
+  timeout 3000 $PY scripts/bench_grid_icp.py 35000 4
+
   step "indoor bench (N=35000, eval fwd + ICP)"
   timeout 3000 $PY scripts/bench_indoor.py 35000 4
 
