@@ -49,19 +49,20 @@ def main():
 
     import ogmm_tpu.ops.dgcnn_train as dtm
     variants = [
-        ("naive", False, None, None, False),
-        ("fused fwd-only (jnp bwd)", True, False, 128, False),
-        ("fused tile128", True, True, 128, False),
-        ("stacked (divergent BN)", False, None, None, True),
+        ("naive", False, None, None, False, False),
+        ("fused fwd-only (jnp bwd)", True, False, 128, False, False),
+        ("fused + remat tail", True, False, 128, False, True),
+        ("fused tile128", True, True, 128, False, False),
+        ("stacked (divergent BN)", False, None, None, True, False),
     ]
-    for label, fused, bwd_pallas, tile, stack in variants:
+    for label, fused, bwd_pallas, tile, stack, remat in variants:
         if bwd_pallas is not None:
             dtm._BWD_PALLAS = bwd_pallas
             dtm._BWD_TILE = tile
         cfg = mnet()
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, dtype="bfloat16", dgcnn_fused_train=fused,
-            stack_train=stack))
+            stack_train=stack, remat=remat))
         model, state, tx = create_train_state(cfg, steps_per_epoch=100,
                                               sample_batch=batch_np)
         step = make_train_step(model, tx, cfg, mesh=None)

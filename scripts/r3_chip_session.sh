@@ -66,6 +66,9 @@ EOF
 
   step "indoor FULL train step (N=35000)"
   timeout 1200 $PY scripts/train_step_indoor.py 35000
+
+  step "mnet train-step A/B (naive / fused / fused+remat / stacked)"
+  timeout 3000 $PY scripts/bench_train_fused.py
 fi
 
 if [ "$PART" = "sweeps" ] || [ "$PART" = "all" ]; then
