@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ogmm_tpu.core import se3
-from ogmm_tpu.ops.common import nn1
+from ogmm_tpu.ops.common import nn1, nn1_both
 
 
 def rotation_error(rot1: jnp.ndarray, rot2: jnp.ndarray) -> jnp.ndarray:
@@ -68,8 +68,7 @@ def dcp_metrics(src, tgt, rot_gt, trans_gt, rot_pred, trans_pred,
     # along with every train step, and at the indoor shape M ~ 35k).
     src_pred = se3.transform(pred_pose, src)
     src_gt = se3.transform(gt_pose, src)
-    dist_src = nn1(src_pred, tgt)[0]
-    dist_ref = nn1(tgt, src_pred)[0]
+    dist_src, dist_ref = nn1_both(src_pred, tgt)
     pcab = nn1(src_pred, src_gt)[0].mean(axis=1)
     chamfer = dist_src.mean(axis=1) + dist_ref.mean(axis=1)
     clip = 0.1

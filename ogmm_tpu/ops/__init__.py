@@ -1,6 +1,7 @@
 from ogmm_tpu.ops.common import (cdist, cos_distance, cos_similarity,
                                  gather_neighbors, graph_feature, index_points,
-                                 knn, l2_normalize, nn1, square_distance)
+                                 knn, l2_normalize, nn1, nn1_both,
+                                 square_distance)
 from ogmm_tpu.ops.fps import farthest_point_sample
 from ogmm_tpu.ops.gmm import (get_anchor_corrs, get_local_corrs, gmm_params,
                               og_params, wkeans, wkeans_plus)
@@ -11,6 +12,7 @@ from ogmm_tpu.ops.sinkhorn import contrastsk, log_boltzmann_kernel, sinkhorn
 __all__ = [
     "cdist", "cos_distance", "cos_similarity", "gather_neighbors",
     "graph_feature", "index_points", "knn", "l2_normalize", "nn1",
+    "nn1_both",
     "square_distance",
     "farthest_point_sample", "get_anchor_corrs", "get_local_corrs",
     "gmm_params", "og_params", "wkeans", "wkeans_plus", "icp_point_to_point",

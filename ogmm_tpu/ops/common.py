@@ -65,6 +65,32 @@ def nn1(src: jnp.ndarray, tgt: jnp.ndarray,
     return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
+def nn1_both(src: jnp.ndarray, tgt: jnp.ndarray,
+             use_pallas: bool | None = None):
+    """Bidirectional 1-NN min distances for chamfer-style reductions:
+    (B,N,C) x (B,M,C) -> (d_src (B,N), d_tgt (B,M)), each the squared
+    distance to the nearest point of the OTHER cloud.
+
+    On the dense jnp path (non-TPU backends at B*N*M <= 64Mi — every CPU
+    train/eval step's metrics ride through here) the (B, N, M) matrix is
+    built ONCE and reduced over both axes; two directed nn1 calls would
+    build it twice (transposed arguments defeat CSE). Kernel and chunked
+    paths keep their running-carry form and pay two directed sweeps —
+    they never materialise the matrix at all.
+    """
+    B, N, _ = src.shape
+    M = tgt.shape[1]
+    resolved = use_pallas
+    if resolved is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        resolved = _auto()
+    if not resolved and B * N * M <= _DENSE_ELEMS:
+        d = square_distance(src, tgt)
+        return jnp.min(d, axis=-1), jnp.min(d, axis=-2)
+    return nn1(src, tgt, use_pallas=use_pallas)[0], \
+        nn1(tgt, src, use_pallas=use_pallas)[0]
+
+
 def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
                     normalize: bool = False) -> jnp.ndarray:
     """Pairwise squared euclidean distance (B, N, C) x (B, M, C) -> (B, N, M).

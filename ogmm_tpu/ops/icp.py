@@ -22,6 +22,42 @@ from ogmm_tpu.core.procrustes import rigid_transform
 from ogmm_tpu.ops.common import gather_neighbors, knn, nn1
 
 
+def _maybe_grid(tgt: jnp.ndarray, threshold: float,
+                use_grid: bool | None, use_pallas: bool | None,
+                grid_cap: int):
+    """Resolve the grid-1-NN route; returns a Grid or None.
+
+    Auto (use_grid=None) engages only when the caller did NOT force an NN
+    path via use_pallas — an explicit use_pallas must exercise the
+    dense/streamed kernel it names (the ops/common.py:nn1 contract; kernel
+    parity checks and A/Bs rely on it) — and M is large enough that the
+    O(N*M) per-trip sweep dominates.
+
+    When the grid is built, cap saturation is surfaced rather than silently
+    degrading: a cell holding more than `grid_cap` points keeps only its
+    first `grid_cap` members (grid_nn.py candidate window), so the true
+    within-threshold neighbour of some query can be dropped and the inlier
+    gate sees a farther point (or none). Rare on real scans at
+    cell=threshold, but it must not pass unnoticed.
+    """
+    M = tgt.shape[1]
+    if use_grid is None:
+        use_grid = use_pallas is None and M > 4096
+    if not use_grid:
+        return None
+    from ogmm_tpu.ops.grid_nn import build_grid
+    grid = build_grid(tgt, cell=threshold)         # once; trips reuse it
+    sat = jnp.max(grid.max_occupancy)
+    jax.lax.cond(
+        sat > grid_cap,
+        lambda s: jax.debug.print(
+            "ogmm_tpu ICP grid: densest cell holds {s} points > grid_cap="
+            f"{grid_cap}; within-threshold neighbours may be dropped — "
+            "raise grid_cap or pass use_grid=False", s=s),
+        lambda s: None, sat)
+    return grid
+
+
 @partial(jax.jit, static_argnames=("threshold", "max_iter", "method",
                                    "use_pallas", "use_grid", "grid_cap"))
 def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
@@ -58,13 +94,10 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     thresh_sq = threshold * threshold
     rot0 = init_pose[..., :3, :3]
     t0 = init_pose[..., :3, 3]
-    M = tgt.shape[1]
-    if use_grid is None:
-        use_grid = M > 4096
-    grid = None
+    grid = _maybe_grid(tgt, threshold, use_grid, use_pallas, grid_cap)
+    use_grid = grid is not None
     if use_grid:
-        from ogmm_tpu.ops.grid_nn import build_grid, nn1_radius
-        grid = build_grid(tgt, cell=threshold)     # once; trips reuse it
+        from ogmm_tpu.ops.grid_nn import nn1_radius
 
     # NB: a whole-loop fused kernel exists (ops/pallas_icp.py, interpreter
     # parity in tests/test_icp.py) but measured 13.0 ms vs 5.6 ms for this
@@ -165,13 +198,10 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
     t0 = init_pose[..., :3, 3]
     if tgt_normals is None:
         tgt_normals = estimate_normals_knn(tgt, k=normal_k)
-    M = tgt.shape[1]
-    if use_grid is None:
-        use_grid = M > 4096
-    grid = None
+    grid = _maybe_grid(tgt, threshold, use_grid, use_pallas, grid_cap)
+    use_grid = grid is not None
     if use_grid:
-        from ogmm_tpu.ops.grid_nn import build_grid, nn1_radius
-        grid = build_grid(tgt, cell=threshold)     # once; trips reuse it
+        from ogmm_tpu.ops.grid_nn import nn1_radius
 
     def body(carry, _):
         rot, t = carry

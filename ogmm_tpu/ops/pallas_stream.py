@@ -235,12 +235,17 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
     colk = jax.lax.broadcasted_iota(jnp.int32, (TN, k), 1)
     d2 = _dist_block(q, t, col + phys * tile_m < n_valid_m)
 
-    # tile skip: if no row's block minimum beats its current k-th best, the
-    # ~4k selection sweeps below cannot change the carry — one row-min sweep
-    # decides. Exact (a skipped tile provably contributes nothing); on
-    # spatially coherent clouds most far-apart tiles skip.
+    # tile skip: if no row's block minimum beats-or-ties its current k-th
+    # best, the ~4k selection sweeps below cannot change the carry — one
+    # row-min sweep decides. Exact (a skipped tile provably contributes
+    # nothing); on spatially coherent clouds most far-apart tiles skip.
+    # The gate must be <= , not < : an equal-distance candidate can still
+    # win the lexicographic (distance, index) merge below with a lower
+    # global index, and under diag_order the lower-index tile may be
+    # visited LATER — a strict gate would prune it and make exact-tie
+    # results depend on the visiting order.
     row_min = jnp.min(d2, axis=1, keepdims=True)          # (TN, 1)
-    improves = jnp.any(row_min < cd[...][:, k - 1:k])
+    improves = jnp.any(row_min <= cd[...][:, k - 1:k])
 
     @pl.when(improves)
     def _select():
@@ -320,7 +325,9 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     per-tile skip gate (no row improves its k-th best -> skip the ~4k
     selection sweeps) engages early — effective when query and target index
     order are spatially correlated (see knn_self_spatial). Results are
-    identical either way (the merge is lexicographic on (distance, index)).
+    identical either way: the merge is lexicographic on (distance, index)
+    and the skip gate passes exact ties (<=), so tie-breaks cannot depend
+    on the tile visiting order.
     """
     B, N, C = src.shape
     M = tgt.shape[1]

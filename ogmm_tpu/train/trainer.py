@@ -284,6 +284,12 @@ class Trainer:
         every = max(1, getattr(self.cfg.train, 'eval_every', 1))
         for epoch in range(epochs):
             train_summary = self.train_epoch(epoch, train_loader)
+            # periodic (crash-recovery) saves are gated ONLY by save_every —
+            # they must not silently thin to lcm(save_every, eval_every)
+            # when the eval cadence skips this epoch
+            if (self.checkpointer is not None
+                    and (epoch + 1) % self.cfg.train.save_every == 0):
+                self.checkpointer.save_periodic(self.state, epoch)
             if (epoch + 1) % every and epoch != epochs - 1:
                 self.history.append({'train': train_summary})
                 continue
@@ -295,8 +301,6 @@ class Trainer:
                                  ('pcab_dist', 'r_mae', 't_mae',
                                   'clip_chamfer_dist', 'n_correct')}
                     self.checkpointer.save_best(self.state, epoch)
-                if (epoch + 1) % self.cfg.train.save_every == 0:
-                    self.checkpointer.save_periodic(self.state, epoch)
                 logger.info(
                     "Current best rotation: %.4f, transl: %.4f, ccd: %.4f, "
                     "recall: %.4f", self.best.get('r_mae', np.inf),

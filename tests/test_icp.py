@@ -185,3 +185,27 @@ def test_icp_pallas_whole_loop_matches_jnp():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_icp_explicit_nn_path_skips_grid(rng, monkeypatch):
+    """An explicit use_pallas forces the NN path it names: the large-M grid
+    auto-route engages only when use_pallas is None (ops/common.py:nn1
+    forced-path contract; ops/icp.py:_maybe_grid)."""
+    import pytest
+    import ogmm_tpu.ops.grid_nn as grid_nn
+
+    def boom(*a, **k):
+        raise AssertionError("grid must not engage")
+
+    monkeypatch.setattr(grid_nn, 'build_grid', boom)
+    B, N, M = 1, 16, 4201                   # M > 4096: grid territory
+    src = rng.randn(B, N, 3).astype(np.float32)
+    tgt = rng.randn(B, M, 3).astype(np.float32)
+    init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    R, T = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                              threshold=0.07, max_iter=2, use_pallas=False)
+    assert np.all(np.isfinite(np.asarray(R)))
+    # and the auto rule (use_pallas=None) still routes through the grid
+    with pytest.raises(Exception, match="grid must not engage"):
+        icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                           threshold=0.07, max_iter=2)

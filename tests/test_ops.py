@@ -206,3 +206,19 @@ def test_fps_combined_matches_separate(rng):
     c_ref = farthest_point_sample(xyz, 16, is_center=True, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(a_ref))
     np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+
+
+def test_nn1_both_matches_directed(rng):
+    """nn1_both (single-matrix dense path for chamfer metrics) returns the
+    same bidirectional min distances as two directed nn1 calls."""
+    from ogmm_tpu.ops.common import nn1, nn1_both
+    src = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(2, 70, 3).astype(np.float32))
+    d_s, d_t = nn1_both(src, tgt)
+    assert d_s.shape == (2, 50) and d_t.shape == (2, 70)
+    np.testing.assert_allclose(np.asarray(d_s),
+                               np.asarray(nn1(src, tgt)[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_t),
+                               np.asarray(nn1(tgt, src)[0]),
+                               rtol=1e-6, atol=1e-6)

@@ -351,3 +351,26 @@ def test_knn_self_spatial_same_neighbour_sets(rng):
     # self is always the nearest neighbour of itself
     np.testing.assert_array_equal(np.asarray(out)[..., 0],
                                   np.arange(300)[None].repeat(2, 0))
+
+
+def test_knn_stream_diag_order_tie_in_late_tile():
+    """Adversarial exact-tie layout for the tile-skip gate: under
+    diag_order, query tile 1 visits its diagonal m-tile FIRST and the
+    lower-index m-tile 0 second. Every row of the query tile ties (never
+    strictly improves) in tile 0, whose duplicate carries the LOWER global
+    index — a strict (<) skip gate prunes the tile and returns the higher
+    index, diverging from top_k. The <= gate keeps exact-tie results
+    independent of the visiting order."""
+    N = M = 16
+    tile = 8
+    p = np.array([5.0, 5.0, 5.0], np.float32)
+    src = np.full((1, N, 3), 100.0, np.float32)
+    src[0, 8:] = p                         # the whole second query tile
+    tgt = np.full((1, M, 3), -100.0, np.float32)
+    tgt[0, 2] = p + np.array([1.0, 0.0, 0.0], np.float32)   # low idx, tile 0
+    tgt[0, 12] = tgt[0, 2]                                  # high idx, tile 1
+    s, t = jnp.asarray(src), jnp.asarray(tgt)
+    ref = knn(s, t, 1, use_pallas=False)
+    out = knn_stream(s, t, 1, tile_n=tile, tile_m=tile, interpret=True,
+                     diag_order=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

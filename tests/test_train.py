@@ -318,3 +318,28 @@ def test_remat_train_step_matches(setup):
     v1 = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g1)])
     rel = np.linalg.norm(v0 - v1) / np.linalg.norm(v0)
     assert rel < 1e-5, rel
+
+
+def test_periodic_save_independent_of_eval_cadence(setup):
+    """save_every fires on its own cadence even when eval_every skips the
+    epoch (regression: the eval-cadence `continue` used to thin periodic
+    crash-recovery saves to lcm(save_every, eval_every))."""
+    import dataclasses
+    from ogmm_tpu.train.trainer import Trainer
+    cfg, batch, model, state, tx = setup
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, eval_every=3, save_every=2, epochs=4))
+    state = jax.tree_util.tree_map(jnp.copy, state)
+
+    calls = {'periodic': [], 'best': []}
+
+    class Spy:
+        def save_periodic(self, state, epoch):
+            calls['periodic'].append(epoch)
+
+        def save_best(self, state, epoch):
+            calls['best'].append(epoch)
+
+    tr = Trainer(cfg, model, state, tx, checkpointer=Spy())
+    tr.fit([batch], [batch], epochs=4)
+    assert calls['periodic'] == [1, 3]      # epochs 2 and 4, eval or not

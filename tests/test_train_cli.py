@@ -8,12 +8,21 @@ The indoor preset additionally proves the Scene7 reader feeds the trainer
 (the large-N kernels themselves are covered by test_indoor_path.py; here
 the point shapes are shrunk so the smoke stays CPU-sized).
 """
+import importlib.util
 import json
 import os
+import pathlib
 
 import numpy as np
 
-import train as train_cli
+# import the repo-root train.py by explicit path: the reference-parity
+# suites put /root/reference at sys.path[0], where a module also named
+# `train` (the reference's CLI, which imports torchvision) would shadow
+# ours under plain `import train` in a full-suite run
+_TRAIN_PATH = pathlib.Path(__file__).resolve().parents[1] / "train.py"
+_spec = importlib.util.spec_from_file_location("ogmm_train_cli", _TRAIN_PATH)
+train_cli = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(train_cli)
 
 TINY = ['--emb_dims', '32', '--n_clusters', '8', '--km_clusters', '8',
         '--num_heads', '2', '--gnn_k', '8']
