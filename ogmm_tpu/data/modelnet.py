@@ -228,9 +228,14 @@ class ModelNetDV:
     def __init__(self, root: str, num_points: int = 2048,
                  num_subsampled_points: int = 768, partition: str = 'train',
                  gaussian_noise: bool = False, unseen: bool = False,
-                 rot_factor: float = 4.0):
+                 rot_factor: float = 4.0, category: int | None = None):
         data, label = _load_source(root, partition)
         label = label.squeeze()
+        if category is not None:
+            # single-category filter (reference modelnet.py:238-240),
+            # applied before the unseen split like the reference
+            data = data[label == category]
+            label = label[label == category]
         keep = (label >= 20) if (unseen and partition == 'test') else (label < 20)
         self.data = data[keep]
         self.label = label[keep]
@@ -282,9 +287,15 @@ class ModelNetGMR:
     def __init__(self, root: str, num_points: int,
                  num_subsampled_points: int = 768, partition: str = 'train',
                  gaussian_noise: bool = False, unseen: bool = False,
-                 rot_factor: float = 4.0, k: int = 20):
+                 rot_factor: float = 4.0, k: int = 20,
+                 category: int | None = None):
         data, label = _load_source(root, partition)
         label = label.squeeze()
+        if category is not None:
+            # single-category filter (reference modelnet.py:113-115),
+            # applied before the unseen split like the reference
+            data = data[label == category]
+            label = label[label == category]
         keep = (label >= 20) if (unseen and partition == 'test') else (label < 20)
         self.data = data[keep]
         self.label = label[keep]

@@ -213,3 +213,21 @@ def test_modelnetdv_through_factory_and_deepgmr():
     dev = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
     state, metrics = step(state, dev)
     assert np.isfinite(float(np.asarray(metrics['loss'])[0]))
+
+
+def test_variant_category_filter():
+    """The CP/DV/GMR variants take the same single-class `category`
+    constructor filter as the reference (datasets/modelnet.py:113-115,
+    175-177, 238-240)."""
+    from ogmm_tpu.data.modelnet import ModelNetCP, ModelNetDV, ModelNetGMR
+    full = ModelNetHdf("synthetic:64", partition='train')
+    cat = int(np.unique(full.label)[0])
+    n_cat = int((full.label == cat).sum())
+    for cls, kw in ((ModelNetCP, dict(n_points=32)),
+                    (ModelNetDV, dict(num_points=64,
+                                      num_subsampled_points=32)),
+                    (ModelNetGMR, dict(num_points=64,
+                                       num_subsampled_points=32, k=4))):
+        ds = cls("synthetic:64", partition='train', category=cat, **kw)
+        assert len(ds) == n_cat, cls.__name__
+        assert np.all(ds.label == cat), cls.__name__
