@@ -165,6 +165,27 @@ def _device_batch(batch: Dict[str, np.ndarray], sharding=None):
     return assemble_global_batch(sub, sharding)
 
 
+@jax.jit
+def _concat_device(acc):
+    """Concatenate each metric's per-step arrays ON DEVICE.
+
+    The epoch summary needs steps*n_metrics (~1,400) tiny arrays; fetching
+    them one by one costs a tunnel round-trip each (~30 ms over axon). One
+    jitted concat turns that into a single dispatch + one small download per
+    metric. jit caches by structure, so this compiles once per (n_steps,
+    batch-shape) combination.
+    """
+    return {k: jnp.concatenate([jnp.atleast_1d(x) for x in v])
+            for k, v in acc.items()}
+
+
+def _fetch_concat(acc) -> Dict[str, np.ndarray]:
+    if not acc:
+        return {}
+    out = _concat_device(dict(acc))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 class Trainer:
     """Epoch driver: train/eval interleave, best-checkpoint tracking,
     throughput logging (pairs/sec/chip — the metric the reference collects
@@ -204,6 +225,14 @@ class Trainer:
         self.profile_dir = profile_dir
         self._profile_window = (5, 10)
 
+    # How many train-step dispatches may be in flight before the driver
+    # forces a device sync. Over the axon tunnel an unbounded async queue is
+    # fragile: dispatches don't pipeline, and a tunnel stall with hundreds of
+    # queued programs wedges the end-of-epoch fetch indefinitely (observed
+    # r3: a 450-epoch run hung >25 min at the first epoch's metric fetch).
+    # One extra RTT every stride is noise next to the stride's device time.
+    sync_every = 32
+
     def train_epoch(self, epoch: int, loader) -> Dict[str, float]:
         acc = defaultdict(list)
         n_pairs = 0
@@ -229,12 +258,15 @@ class Trainer:
             n_pairs += batch['src_xyz'].shape[0]
             for k, v in metrics.items():
                 acc[k].append(v)
+            if i % self.sync_every == self.sync_every - 1:
+                # bound the in-flight queue with a REAL fetch (CLAUDE.md:
+                # block_until_ready can return early over the tunnel)
+                np.asarray(metrics['loss'])
         jax.block_until_ready(self.state.params)
         if profiling:
             jax.profiler.stop_trace()
         dt = time.perf_counter() - t0
-        summary = summarize_metrics(
-            {k: np.concatenate([np.asarray(x) for x in v]) for k, v in acc.items()})
+        summary = summarize_metrics(_fetch_concat(acc))
         n_dev = self.mesh.size if self.mesh else 1
         summary['pairs_per_sec'] = n_pairs / dt
         summary['pairs_per_sec_per_chip'] = n_pairs / dt / n_dev
@@ -259,8 +291,7 @@ class Trainer:
             for k, v in metrics.items():
                 acc[k].append(v)
         dt = time.perf_counter() - t0
-        summary = summarize_metrics(
-            {k: np.concatenate([np.asarray(x) for x in v]) for k, v in acc.items()})
+        summary = summarize_metrics(_fetch_concat(acc))
         n_dev = self.mesh.size if self.mesh else 1
         summary['pairs_per_sec'] = n_pairs / dt
         summary['pairs_per_sec_per_chip'] = n_pairs / dt / n_dev

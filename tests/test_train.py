@@ -89,6 +89,26 @@ def test_metrics_every_light_step(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fetch_concat_matches_host_concat():
+    """The device-side epoch-metric concat (trainer._fetch_concat — one
+    dispatch + one download per metric, instead of ~1,400 tunnel RTTs)
+    must return exactly what the old per-array host fetch produced, for
+    the shapes the epoch loop accumulates: 0-d scalars (loss) and 1-d
+    per-sample arrays (r_mae etc.)."""
+    from ogmm_tpu.train.trainer import _fetch_concat
+    rs = np.random.RandomState(3)
+    scal = [rs.randn() for _ in range(5)]
+    vecs = [rs.randn(8).astype(np.float32) for _ in range(5)]
+    acc = {'loss': [jnp.asarray(s, jnp.float32) for s in scal],
+           'r_mae': [jnp.asarray(v) for v in vecs]}
+    out = _fetch_concat(acc)
+    assert set(out) == {'loss', 'r_mae'}
+    assert all(isinstance(v, np.ndarray) for v in out.values())
+    np.testing.assert_allclose(out['loss'], np.float32(scal), rtol=1e-6)
+    np.testing.assert_array_equal(out['r_mae'], np.concatenate(vecs))
+    assert _fetch_concat({}) == {}
+
+
 def test_mesh_train_step_8_devices(setup):
     cfg, batch, model, state, tx = setup
     devices = jax.devices()
