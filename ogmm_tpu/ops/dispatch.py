@@ -42,3 +42,40 @@ def pallas_override(enabled: bool | None):
         yield
     finally:
         _FORCE = prev
+
+
+# --------------------------------------------------------------------------
+# Host debug callbacks (jax.debug.print and friends)
+#
+# A debug.print traced into a jitted program becomes a host send/recv
+# callback: a hidden device->host sync point on real TPU, and an outright
+# UNIMPLEMENTED error on PJRT transports without callback support (the axon
+# tunnel this repo benches through). Serving programs must therefore never
+# embed one by default; diagnostic prints (e.g. the ICP grid-cap saturation
+# warning, ops/icp.py:_maybe_grid) are gated here and resolved at trace
+# time, off unless a debugging run opts in.
+# --------------------------------------------------------------------------
+
+_DEBUG_CB: bool = False
+
+
+def set_debug_callbacks(enabled: bool) -> None:
+    """Opt in/out of tracing jax.debug host callbacks into jitted programs."""
+    global _DEBUG_CB
+    _DEBUG_CB = enabled
+
+
+def debug_callbacks() -> bool:
+    """Resolved at trace time by ops that carry diagnostic prints."""
+    return _DEBUG_CB
+
+
+@contextmanager
+def debug_callbacks_override(enabled: bool):
+    global _DEBUG_CB
+    prev = _DEBUG_CB
+    _DEBUG_CB = enabled
+    try:
+        yield
+    finally:
+        _DEBUG_CB = prev

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ogmm_tpu.core import se3
 from ogmm_tpu.core.procrustes import rigid_transform
+from ogmm_tpu.ops import dispatch
 from ogmm_tpu.ops.common import gather_neighbors, knn, nn1
 
 
@@ -27,34 +28,47 @@ def _maybe_grid(tgt: jnp.ndarray, threshold: float,
                 grid_cap: int):
     """Resolve the grid-1-NN route; returns a Grid or None.
 
-    Auto (use_grid=None) engages only when the caller did NOT force an NN
-    path via use_pallas — an explicit use_pallas must exercise the
-    dense/streamed kernel it names (the ops/common.py:nn1 contract; kernel
-    parity checks and A/Bs rely on it) — and M is large enough that the
-    O(N*M) per-trip sweep dominates.
+    The grid route is OPT-IN ONLY (use_grid=True): the r3 on-chip A/B at
+    N=M=35,000 measured the streamed-1-NN refine at 394.8 ms/30 trips vs
+    8.5-10.3 s for the grid at cap 8/16 (scripts/bench_grid_icp.py), and
+    the cap-32 build FAULTED the TPU worker — the gather-heavy candidate
+    probing is VPU-bound on TPU while the "brute-force" distance blocks the
+    grid avoids are exactly what the MXU does at speed-of-light. The grid
+    remains available for genuinely sparse regimes (M >> 100k, tiny
+    threshold) where the O(N*M) sweep cannot be paid, with an explicit
+    use_grid=True and a measured A/B. An explicit use_pallas always forces
+    the dense/streamed kernel it names (the ops/common.py:nn1 contract).
 
-    When the grid is built, cap saturation is surfaced rather than silently
-    degrading: a cell holding more than `grid_cap` points keeps only its
-    first `grid_cap` members (grid_nn.py candidate window), so the true
-    within-threshold neighbour of some query can be dropped and the inlier
-    gate sees a farther point (or none). Rare on real scans at
-    cell=threshold, but it must not pass unnoticed.
+    When the grid is built, cap saturation can be surfaced rather than
+    silently degrading: a cell holding more than `grid_cap` points keeps
+    only its first `grid_cap` members (grid_nn.py candidate window), so the
+    true within-threshold neighbour of some query can be dropped and the
+    inlier gate sees a farther point (or none). Rare on real scans at
+    cell=threshold, but worth checking in debugging runs — enable the
+    trace-time warning with `dispatch.set_debug_callbacks(True)` (off by
+    default: the jax.debug.print it traces is a host callback, a hidden
+    sync on TPU and unsupported over callback-less PJRT transports).
     """
-    M = tgt.shape[1]
     if use_grid is None:
-        use_grid = use_pallas is None and M > 4096
+        use_grid = False                  # opt-in only (r3 A/B: see above)
+    if use_grid and use_pallas is not None:
+        raise ValueError("use_grid=True conflicts with an explicit "
+                         "use_pallas NN path — pass one or the other")
     if not use_grid:
         return None
     from ogmm_tpu.ops.grid_nn import build_grid
     grid = build_grid(tgt, cell=threshold)         # once; trips reuse it
-    sat = jnp.max(grid.max_occupancy)
-    jax.lax.cond(
-        sat > grid_cap,
-        lambda s: jax.debug.print(
-            "ogmm_tpu ICP grid: densest cell holds {s} points > grid_cap="
-            f"{grid_cap}; within-threshold neighbours may be dropped — "
-            "raise grid_cap or pass use_grid=False", s=s),
-        lambda s: None, sat)
+    if dispatch.debug_callbacks():
+        # trace-time gated: a debug.print is a host callback — a hidden
+        # sync on TPU and UNIMPLEMENTED over callback-less PJRT transports
+        sat = jnp.max(grid.max_occupancy)
+        jax.lax.cond(
+            sat > grid_cap,
+            lambda s: jax.debug.print(
+                "ogmm_tpu ICP grid: densest cell holds {s} points > "
+                f"grid_cap={grid_cap}; within-threshold neighbours may be "
+                "dropped — raise grid_cap or pass use_grid=False", s=s),
+            lambda s: None, sat)
     return grid
 
 
@@ -85,8 +99,9 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
       use_grid: route the per-trip 1-NN through a uniform grid built once
         from the static target (ops/grid_nn.py) — exact under the inlier
         gate (every point within `threshold` is a candidate; everything
-        farther is gated to weight 0 on both paths). None = auto at
-        M > 4096, where a dense/streamed 1-NN would pay O(N*M) per trip.
+        farther is gated to weight 0 on both paths). OPT-IN ONLY: the
+        streamed 1-NN beat it ~20x on chip at N=M=35k (see _maybe_grid);
+        reach for it only in sparse M>>100k regimes, with an A/B.
       grid_cap: candidate-window size per stencil cell (see grid_nn.py).
 
     Returns: (rot (B,3,3), trans (B,3)) refined transform.

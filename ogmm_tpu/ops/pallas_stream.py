@@ -386,7 +386,7 @@ def _morton3(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
                                              "interpret"))
 def knn_self_spatial(x: jnp.ndarray, k: int,
-                     tile_n: int = 256, tile_m: int = 4096,
+                     tile_n: int = 128, tile_m: int = 4096,
                      interpret: bool = False) -> jnp.ndarray:
     """Self-graph kNN with a Morton pre-sort: (B, N, 3) -> (B, N, k).
 
@@ -400,6 +400,10 @@ def knn_self_spatial(x: jnp.ndarray, k: int,
     ascending-distance. Exact-tie index choice can differ from lax.top_k
     (ties resolve by sorted position, not original index) — all model
     consumers max-pool over k, so this is unobservable there.
+
+    Tile default (128, 4096) is the r3 on-chip A/B winner at N=35k, k=20
+    (scripts/kernel_ab_stream.py: 40.1/52.6 ms/cloud surface/gauss vs
+    45.8/58.6 at tn256 — shorter rows shrink the skipped-sweep stragglers).
     """
     B, N, _ = x.shape
     order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)   # (B, N)

@@ -95,6 +95,13 @@ def main():
             x, k, tile_n=128, tile_m=4096)),
         ("spatial tn256 tm2048", lambda x: knn_self_spatial(
             x, k, tile_n=256, tile_m=2048)),
+        # r3b follow-up around the tn128/tm4096 winner
+        ("spatial tn128 tm2048", lambda x: knn_self_spatial(
+            x, k, tile_n=128, tile_m=2048)),
+        ("spatial tn128 tm8192", lambda x: knn_self_spatial(
+            x, k, tile_n=128, tile_m=8192)),
+        ("spatial tn64  tm4096", lambda x: knn_self_spatial(
+            x, k, tile_n=64, tile_m=4096)),
     ]
     for make, dist in ((stack, "gauss"), (surface_stack, "surface")):
         for label, fn in spatial_variants:

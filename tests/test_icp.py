@@ -187,10 +187,11 @@ def test_icp_pallas_whole_loop_matches_jnp():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_icp_explicit_nn_path_skips_grid(rng, monkeypatch):
-    """An explicit use_pallas forces the NN path it names: the large-M grid
-    auto-route engages only when use_pallas is None (ops/common.py:nn1
-    forced-path contract; ops/icp.py:_maybe_grid)."""
+def test_icp_grid_is_opt_in_only(rng, monkeypatch):
+    """The grid 1-NN route never engages unless use_grid=True: the r3
+    on-chip A/B measured it ~20x slower than the streamed 1-NN at N=M=35k
+    and the cap-32 build faulted the TPU worker (ops/icp.py:_maybe_grid).
+    An explicit use_pallas NN path conflicts with use_grid=True."""
     import pytest
     import ogmm_tpu.ops.grid_nn as grid_nn
 
@@ -198,14 +199,41 @@ def test_icp_explicit_nn_path_skips_grid(rng, monkeypatch):
         raise AssertionError("grid must not engage")
 
     monkeypatch.setattr(grid_nn, 'build_grid', boom)
-    B, N, M = 1, 16, 4201                   # M > 4096: grid territory
+    B, N, M = 1, 16, 4201                   # M > 4096: old auto territory
     src = rng.randn(B, N, 3).astype(np.float32)
     tgt = rng.randn(B, M, 3).astype(np.float32)
     init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
-    R, T = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
-                              threshold=0.07, max_iter=2, use_pallas=False)
-    assert np.all(np.isfinite(np.asarray(R)))
-    # and the auto rule (use_pallas=None) still routes through the grid
-    with pytest.raises(Exception, match="grid must not engage"):
+    for kw in (dict(use_pallas=False), dict()):     # forced and auto paths
+        R, T = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                                  threshold=0.07, max_iter=2, **kw)
+        assert np.all(np.isfinite(np.asarray(R)))
+    with pytest.raises(ValueError, match="use_grid"):
         icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
-                           threshold=0.07, max_iter=2)
+                           threshold=0.07, max_iter=2,
+                           use_grid=True, use_pallas=False)
+
+
+def test_grid_icp_serving_trace_has_no_host_callback(rng):
+    """The grid-cap saturation warning is a jax.debug.print — a host
+    callback, which is a hidden sync on TPU and UNIMPLEMENTED over
+    callback-less PJRT transports (it broke the on-chip indoor bench, r3).
+    Default serving traces must not contain one; the warning appears only
+    under dispatch.set_debug_callbacks(True)."""
+    from ogmm_tpu.ops.dispatch import debug_callbacks_override
+
+    B, N, M = 1, 16, 4201                   # M > 4096: grid auto-route
+    src = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    init = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    def lowered_text(max_iter):
+        # distinct static max_iter per call: the gate is resolved at trace
+        # time and jit would otherwise reuse the cached trace (the switch
+        # is process-global and pre-trace, like dispatch.set_pallas)
+        return icp_point_to_point.lower(
+            src, tgt, init, threshold=0.07, max_iter=max_iter,
+            use_grid=True).as_text()
+
+    assert "callback" not in lowered_text(2)
+    with debug_callbacks_override(True):
+        assert "callback" in lowered_text(3)
