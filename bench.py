@@ -140,6 +140,48 @@ def main():
     fn_t = jax.jit(lambda s, t: scanned_train(s, t))
     pps_train = B / timed(fn_t, t_stacks, warm_t, Rt)
 
+    # --- indoor regime (B=1, N=35k, K=16 — the reference's real-data
+    # operating point, configs/cfgs.py:77,100): eval forward, streamed
+    # kernels. Guarded: a failure degrades to omitting the fields, never
+    # to breaking the headline JSON line. ---
+    indoor_ms = None
+    try:
+        from ogmm_tpu.configs import indoor as indoor_preset
+        Ni, Ri = 35000, 4
+        icfg = dataclasses.replace(indoor_preset().model, dtype="bfloat16")
+        imodel = GMMReg(cfg=icfg)
+
+        def istack():
+            u = rs.rand(Ri, 1, Ni, 2).astype(np.float32)
+            z = (np.sin(3 * u[..., :1]) * np.cos(2 * u[..., 1:]))
+            pts = np.concatenate([u, 0.3 * z], -1).astype(np.float32)
+            return jnp.asarray(pts + 0.01 * rs.randn(Ri, 1, Ni, 3)
+                               .astype(np.float32))
+
+        iw_s, iw_t = istack(), istack()
+        ivars = imodel.init({'params': jax.random.PRNGKey(0)},
+                            iw_s[0], iw_t[0], train=False)
+
+        def iscanned(srcs, tgts):
+            def body(c, st):
+                s, t = st
+                rot, *_ = imodel.apply(ivars, s, t, train=False)
+                return c + rot.astype(jnp.float32).sum(), None
+            return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                (srcs, tgts))[0]
+
+        ifn = jax.jit(iscanned)
+        np.asarray(ifn(iw_s, iw_t))
+        its = []
+        for _ in range(3):
+            xs, xt = istack(), istack()
+            t0 = time.perf_counter()
+            np.asarray(ifn(xs, xt))
+            its.append(time.perf_counter() - t0)
+        indoor_ms = (min(its) - rtt) / Ri * 1e3
+    except Exception:
+        pass
+
     baseline = FALLBACK_BASELINE_PPS
     here = os.path.dirname(os.path.abspath(__file__))
     meas = os.path.join(here, "BASELINE_MEASURED.json")
@@ -155,6 +197,8 @@ def main():
         "eval_icp_pairs_per_sec": round(pps_icp, 1),
         "train_step_pairs_per_sec": round(pps_train, 1),
     }
+    if indoor_ms is not None:
+        result["indoor_fwd_ms_per_pair"] = round(indoor_ms, 1)
     print(json.dumps(result))
 
 

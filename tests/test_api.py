@@ -155,3 +155,20 @@ def test_weights_export_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_serve_preset_dials():
+    """The serving preset applies exactly the dial the r3 accuracy sweep
+    proved neutral (em_iters 6, bf16 body) and nothing else: ICP trips are
+    load-bearing at 30 (RESULTS.md dial table) and every other knob keeps
+    the reference-parity default."""
+    import dataclasses as dc
+    from ogmm_tpu.configs import mnet, serve
+    base, s = mnet(), serve()
+    assert s.model.em_iters == 6
+    assert s.model.dtype == "bfloat16"
+    assert s.model.icp_iters == 30
+    same = {f.name for f in dc.fields(s.model)} - {"em_iters", "dtype"}
+    for name in same:
+        assert getattr(s.model, name) == getattr(base.model, name), name
+    assert s.data == base.data and s.train == base.train
