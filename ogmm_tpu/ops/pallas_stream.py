@@ -215,9 +215,14 @@ def _diag_first(i, m, *, n_m: int, tile_n: int, tile_m: int):
     return (start + off) % n_m
 
 
-def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
-                       *, k: int, tile_n: int, tile_m: int, n_valid_m: int,
-                       n_m: int, unroll: bool, diag_order: bool):
+def _knn_stream_kernel(src_ref, tgt_ref, *rest,
+                       k: int, tile_n: int, tile_m: int, n_valid_m: int,
+                       n_m: int, unroll: bool, diag_order: bool,
+                       n_valid_n: int = 0, cull: bool = False):
+    if cull:
+        lb_ref, out_ref, cd, ci = rest
+    else:
+        out_ref, cd, ci = rest
     mi = pl.program_id(2)
     phys = (_diag_first(pl.program_id(1), mi, n_m=n_m, tile_n=tile_n,
                         tile_m=tile_m)
@@ -231,24 +236,39 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
     q = src_ref[0]                                        # (TN, C)
     t = tgt_ref[0]                                        # (TM, C)
     TN, TM = q.shape[0], t.shape[0]
+
+    if cull:
+        # block cull: lb_ref[i, phys] is an AABB lower bound on every
+        # squared distance this block can produce (computed XLA-side from
+        # the Morton-sorted tiles, see knn_self_spatial). If it exceeds the
+        # worst current k-th bound over the tile's VALID rows (pad rows of
+        # the tail tile carry garbage queries and must not poison the max),
+        # the whole block — distance matmul included — provably cannot
+        # change any carry. The small relative+absolute margin keeps the
+        # prune sound under f32 rounding of the computed d2 (the AABB bound
+        # is exact-math; computed distances can round slightly below it).
+        rowg = (jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+                + pl.program_id(1) * tile_n)
+        kth = cd[...][:, k - 1:k]                          # (TN, 1)
+        worst = jnp.max(jnp.where(rowg < n_valid_n, kth, -jnp.inf))
+        # lb_ref holds the whole flattened (T_n * n_m) bound table (a few
+        # KB, VMEM-resident once — a (1, 1, n_m) per-tile block would break
+        # Mosaic's (8, 128)-divisible-or-equal block rule on the T_n axis);
+        # select entry [i, phys] with one masked lane reduce.
+        lbrow = lb_ref[0]                                  # (1, T_n * n_m)
+        lbcol = jax.lax.broadcasted_iota(jnp.int32, lbrow.shape, 1)
+        lb = jnp.sum(jnp.where(
+            lbcol == pl.program_id(1) * n_m + phys, lbrow, 0.0))
+        visit = lb <= worst * (1.0 + 1e-6) + 1e-6
+    else:
+        visit = True
+
     col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1)
     colk = jax.lax.broadcasted_iota(jnp.int32, (TN, k), 1)
-    d2 = _dist_block(q, t, col + phys * tile_m < n_valid_m)
 
-    # tile skip: if no row's block minimum beats-or-ties its current k-th
-    # best, the ~4k selection sweeps below cannot change the carry — one
-    # row-min sweep decides. Exact (a skipped tile provably contributes
-    # nothing); on spatially coherent clouds most far-apart tiles skip.
-    # The gate must be <= , not < : an equal-distance candidate can still
-    # win the lexicographic (distance, index) merge below with a lower
-    # global index, and under diag_order the lower-index tile may be
-    # visited LATER — a strict gate would prune it and make exact-tie
-    # results depend on the visiting order.
-    row_min = jnp.min(d2, axis=1, keepdims=True)          # (TN, 1)
-    improves = jnp.any(row_min <= cd[...][:, k - 1:k])
-
-    @pl.when(improves)
-    def _select():
+    def _run_select(improves, d2):
+      @pl.when(improves)
+      def _select():
         # block top-k by k argmin-extract passes over the (TN, TM) block
         def bbody(j, carry):
             d2, bk_d, bk_i = carry
@@ -296,6 +316,23 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
         cd[...] = nd
         ci[...] = ni
 
+    @pl.when(visit)
+    def _visit():
+        d2 = _dist_block(q, t, col + phys * tile_m < n_valid_m)
+
+        # tile skip: if no row's block minimum beats-or-ties its current
+        # k-th best, the ~4k selection sweeps below cannot change the carry
+        # — one row-min sweep decides. Exact (a skipped tile provably
+        # contributes nothing); on spatially coherent clouds most far-apart
+        # tiles skip. The gate must be <= , not < : an equal-distance
+        # candidate can still win the lexicographic (distance, index) merge
+        # below with a lower global index, and under diag_order the
+        # lower-index tile may be visited LATER — a strict gate would prune
+        # it and make exact-tie results depend on the visiting order.
+        row_min = jnp.min(d2, axis=1, keepdims=True)      # (TN, 1)
+        improves = jnp.any(row_min <= cd[...][:, k - 1:k])
+        _run_select(improves, d2)
+
     @pl.when(mi == pl.num_programs(2) - 1)
     def _flush():
         out_ref[0] = ci[...]
@@ -307,8 +344,15 @@ def _knn_stream_kernel(src_ref, tgt_ref, out_ref, cd, ci,
 def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
                tile_n: int = 256, tile_m: int = 4096,
                interpret: bool = False, unroll: bool = True,
-               diag_order: bool = False) -> jnp.ndarray:
+               diag_order: bool = False,
+               cull_lb: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B,N,C) x (B,M,C) -> int32 (B,N,k) ascending distance, M streamed.
+
+    `cull_lb` (optional, (B, n_n_tiles, n_m_tiles) f32): per tile-pair
+    lower bounds on the squared distance — blocks whose bound exceeds the
+    query tile's worst running k-th distance are skipped entirely,
+    distance matmul included (exact under the in-kernel safety margin; see
+    _knn_stream_kernel). Producers: knn_self_spatial's Morton-tile AABBs.
 
     Semantics match ops/common.py:knn (lax.top_k over clamped distances:
     ascending distance, exact ties broken by the lower index). Requires
@@ -335,29 +379,80 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     tile_m = min(tile_m, M)
     assert tile_m >= k and M >= k, (tile_m, M, k)
     n_m = pl.cdiv(M, tile_m)
+    cull = cull_lb is not None
     grid = (B, pl.cdiv(N, tile_n), n_m)
     kern = functools.partial(_knn_stream_kernel, k=k, tile_n=tile_n,
                              tile_m=tile_m, n_valid_m=M, n_m=n_m,
-                             unroll=unroll, diag_order=diag_order)
+                             unroll=unroll, diag_order=diag_order,
+                             n_valid_n=N, cull=cull)
     if diag_order:
         tgt_map = lambda b, i, m: (
             b, _diag_first(i, m, n_m=n_m, tile_n=tile_n, tile_m=tile_m), 0)
     else:
         tgt_map = lambda b, i, m: (b, m, 0)
+    in_specs = [pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_m, C), tgt_map,
+                             memory_space=pltpu.VMEM)]
+    args = (src.astype(jnp.float32), tgt.astype(jnp.float32))
+    if cull:
+        assert cull_lb.shape == (B, grid[1], n_m), (cull_lb.shape, grid)
+        flat = cull_lb.astype(jnp.float32).reshape(B, 1, grid[1] * n_m)
+        in_specs.append(pl.BlockSpec((1, 1, grid[1] * n_m),
+                                     lambda b, i, m: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += (flat,)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_m, C), tgt_map,
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_n, k), lambda b, i, m: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tile_n, k), jnp.float32),
                         pltpu.VMEM((tile_n, k), jnp.int32)],
         interpret=interpret,
-    )(src.astype(jnp.float32), tgt.astype(jnp.float32))
+    )(*args)
+
+
+def _tile_boxes(xs: jnp.ndarray, tile: int):
+    """(B, N, 3) sorted cloud -> per-tile AABBs ((B, T, 3) mins, maxs)."""
+    B, N, _ = xs.shape
+    T = -(-N // tile)
+    pad = T * tile - N
+    lo = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)),
+                 constant_values=jnp.inf).reshape(B, T, tile, 3).min(axis=2)
+    hi = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)),
+                 constant_values=-jnp.inf).reshape(B, T, tile, 3).max(axis=2)
+    return lo, hi
+
+
+def _tile_pair_bounds(xs: jnp.ndarray, tile_n: int,
+                      tile_m: int) -> jnp.ndarray:
+    """(B, N, 3) sorted -> (B, T_n, T_m) squared AABB-separation bounds.
+
+    Exact-math lower bound on any squared distance between a point of
+    n-tile i and a point of m-tile j — per-axis box gap, squared-summed —
+    MINUS a float-safety tolerance, so the result lower-bounds the
+    COMPUTED d2 of _dist_block too. The kernel's |q|^2+|t|^2-2q.t form
+    cancels catastrophically at small separations: its absolute error
+    scales with the squared coordinate magnitude (~couple of f32 ulps of
+    2*max|x|^2), not with the distance. 1e-5 * (1 + 2 max|x|^2) is ~15x
+    the worst bound; clusters a cull could actually skip sit orders of
+    magnitude above it, so pruning power is untouched. Pad tiles (empty
+    range) come out with +/-inf boxes -> clamp any non-finite bound to 0
+    (never culls; the kernel's column-validity mask handles pad columns
+    and pad ROWS only ever shrink `worst`).
+    """
+    nlo, nhi = _tile_boxes(xs, tile_n)                  # (B, T_n, 3)
+    mlo, mhi = _tile_boxes(xs, tile_m)                  # (B, T_m, 3)
+    gap = jnp.maximum(0.0, jnp.maximum(
+        nlo[:, :, None, :] - mhi[:, None, :, :],
+        mlo[:, None, :, :] - nhi[:, :, None, :]))       # (B, T_n, T_m, 3)
+    lb = jnp.sum(gap * gap, axis=-1)
+    tol = 1e-5 * (1.0 + 2.0 * jnp.max(jnp.sum(xs * xs, axis=-1), axis=1))
+    lb = jnp.maximum(0.0, lb - tol[:, None, None])
+    return jnp.where(jnp.isfinite(lb), lb, 0.0)
 
 
 def _morton3(x: jnp.ndarray) -> jnp.ndarray:
@@ -386,30 +481,43 @@ def _morton3(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
                                              "interpret"))
 def knn_self_spatial(x: jnp.ndarray, k: int,
-                     tile_n: int = 128, tile_m: int = 4096,
+                     tile_n: int = 64, tile_m: int = 4096,
                      interpret: bool = False) -> jnp.ndarray:
     """Self-graph kNN with a Morton pre-sort: (B, N, 3) -> (B, N, k).
 
     Sorting the cloud along a Z-order curve makes index locality track
     spatial locality, so knn_stream's diagonal-first visiting order finds
-    each row's true k nearest in the first few tiles and the per-tile skip
-    gate cancels the selection sweeps for the rest — the asymptotics stay
-    O(N^2) (every distance block is still computed) but the dominant
-    selection cost collapses on real (surface-like) scans. Indices are
+    each row's true k nearest in the first few tiles; the per-tile skip
+    gate then cancels the selection sweeps for later tiles, and the AABB
+    cull (cull_lb, exact-math tile-pair bounds) skips far blocks before
+    even their distance matmul — on spatially coherent scans most of the
+    O(N^2) block work never runs. Indices are
     mapped back to the ORIGINAL point order; per-row neighbour order stays
     ascending-distance. Exact-tie index choice can differ from lax.top_k
     (ties resolve by sorted position, not original index) — all model
     consumers max-pool over k, so this is unobservable there.
 
-    Tile default (128, 4096) is the r3 on-chip A/B winner at N=35k, k=20
-    (scripts/kernel_ab_stream.py: 40.1/52.6 ms/cloud surface/gauss vs
-    45.8/58.6 at tn256 — shorter rows shrink the skipped-sweep stragglers).
+    Tile default (64, 4096) is the r3 on-chip A/B winner at N=35k, k=20
+    WITH the AABB cull (scripts/kernel_ab_stream.py: 36.7/54.4 ms/cloud
+    surface/gauss; pre-cull best was 40.1/52.6 at tn128 — finer query
+    tiles tighten each tile's `worst` bound so more blocks cull, which
+    outweighs the extra per-block overhead). Cull-era Mosaic envelope
+    note: tn256/tm4096 and tn128/tm8192 crash the Mosaic pipeline with
+    the cull input attached (remote-compile 500) — stay at tile_m 4096
+    and tile_n <= 128 until re-validated.
     """
     B, N, _ = x.shape
     order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)   # (B, N)
     xs = jnp.take_along_axis(x, order[..., None], axis=1)
+    # Per-tile AABBs of the sorted cloud -> exact-math lower bounds on the
+    # squared distance any (n_tile, m_tile) block can produce. Morton
+    # sorting makes tiles spatially compact, so most off-diagonal bounds
+    # are large and the kernel culls those blocks before the distance
+    # matmul (see _knn_stream_kernel).
+    lb = _tile_pair_bounds(xs, min(tile_n, N), min(tile_m, N))
     idx_s = knn_stream(xs, xs, k, tile_n=tile_n, tile_m=tile_m,
-                       interpret=interpret, diag_order=True)      # sorted ids
+                       interpret=interpret, diag_order=True,
+                       cull_lb=lb)                                # sorted ids
     # sorted-space neighbour ids -> original ids
     orig = jnp.take_along_axis(order, idx_s.reshape(B, -1),
                                axis=1).reshape(B, N, k)

@@ -374,3 +374,78 @@ def test_knn_stream_diag_order_tie_in_late_tile():
     out = knn_stream(s, t, 1, tile_n=tile, tile_m=tile, interpret=True,
                      diag_order=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_knn_self_spatial_cull_is_a_no_op_on_results(rng):
+    """The AABB block cull may only skip blocks that provably cannot change
+    the carry, so culled and uncull runs of the SAME pipeline must be
+    bit-identical — even on an adversarial layout where >50% of tile-pair
+    bounds are positive (well-separated clusters, coords at scale ~14 where
+    f32 d2 cancellation error is ~1e-4) and an exact duplicate pair lives
+    in a far tile (its block bound is 0 and must survive)."""
+    from ogmm_tpu.ops.pallas_stream import (_morton3, _tile_pair_bounds,
+                                            knn_stream)
+
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [10, 10, 10]],
+                       np.float32)
+    pts = (centers[:, None] +
+           0.2 * rng.randn(4, 90, 3).astype(np.float32)).reshape(1, 360, 3)
+    pts[0, 359] = pts[0, 0]            # exact duplicate, distant indices
+    x = jnp.asarray(pts)
+    order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)
+    xs = jnp.take_along_axis(x, order[..., None], axis=1)
+    lb = _tile_pair_bounds(xs, 32, 64)
+    assert float((np.asarray(lb) > 0).mean()) > 0.5   # cull pressure is real
+    kw = dict(tile_n=32, tile_m=64, interpret=True, diag_order=True)
+    plain = knn_stream(xs, xs, 8, **kw)
+    culled = knn_stream(xs, xs, 8, cull_lb=lb, **kw)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(culled))
+
+
+def test_knn_self_spatial_cull_exact_on_separated_clusters(rng):
+    """End-to-end exactness under heavy culling at the data scale the
+    models actually use (unit-ish clouds): well-separated clusters so most
+    off-diagonal blocks cull, plus an exact duplicate pair in a far tile —
+    neighbour distance sets must match the dense XLA reference."""
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial
+
+    centers = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]],
+                       np.float32)
+    pts = (centers[:, None] +
+           0.02 * rng.randn(4, 90, 3).astype(np.float32)).reshape(1, 360, 3)
+    pts[0, 359] = pts[0, 0]            # exact duplicate, distant indices
+    x = jnp.asarray(pts)
+
+    ref = knn(x, x, 8, use_pallas=False)
+    out = knn_self_spatial(x, 8, tile_n=32, tile_m=64, interpret=True)
+
+    d_ref = np.linalg.norm(pts[0][np.asarray(ref)[0]] - pts[0][:, None],
+                           axis=-1)
+    d_out = np.linalg.norm(pts[0][np.asarray(out)[0]] - pts[0][:, None],
+                           axis=-1)
+    # tolerance covers f32 d2 cancellation noise (~4e-7 abs at |x|^2~3 ->
+    # ~1e-5 in distance here): near-equidistant candidates can legitimately
+    # swap picks between the two summation orders; the bit-identity of
+    # culled vs uncull runs is asserted in the no-op test above
+    np.testing.assert_allclose(d_out, d_ref, rtol=1e-3, atol=5e-5)
+    # the duplicate pair must find each other at distance zero
+    assert d_out[0, :2].max() == 0.0 and d_out[359, :2].max() == 0.0
+
+
+def test_tile_pair_bounds_are_true_lower_bounds(rng):
+    """Every entry of _tile_pair_bounds must lower-bound the minimum true
+    squared distance between its tile pair — on random clouds at several
+    tile shapes (soundness is what makes the kernel cull exact)."""
+    from ogmm_tpu.ops.pallas_stream import _tile_pair_bounds
+
+    x = jnp.asarray(rng.randn(2, 137, 3).astype(np.float32))
+    for tn, tm in ((32, 64), (64, 32), (137, 137), (50, 70)):
+        lb = np.asarray(_tile_pair_bounds(x, tn, tm))
+        pts = np.asarray(x)
+        for b in range(2):
+            for i in range(lb.shape[1]):
+                qi = pts[b, i * tn:(i + 1) * tn]
+                for j in range(lb.shape[2]):
+                    tj = pts[b, j * tm:(j + 1) * tm]
+                    d2 = (((qi[:, None] - tj[None]) ** 2).sum(-1)).min()
+                    assert lb[b, i, j] <= d2 + 1e-12, (tn, tm, b, i, j)
