@@ -114,6 +114,28 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
     if use_grid:
         from ogmm_tpu.ops.grid_nn import nn1_radius
 
+    # Spatial large-M auto route: Morton-sort both clouds ONCE and run the
+    # whole loop in sorted coordinates (ICP is permutation-equivariant:
+    # correspondences are gathered per trip and only (R, t) leaves, so no
+    # index map-back exists to pay for). Per trip, query-tile AABBs of the
+    # moved source (a rigid motion preserves Morton locality) against the
+    # static target tiles bound each (tile, tile) block; the streamed 1-NN
+    # culls blocks past min(worst running best, threshold^2) — the inlier
+    # gate discards anything beyond threshold anyway, so far blocks skip
+    # immediately and per-trip work collapses to the near-diagonal band.
+    # Engages only under auto dispatch (use_pallas None keeps the
+    # forced-path contract; explicit kernels measure what they name).
+    spatial = (not use_grid and use_pallas is None and tgt.shape[1] > 4096
+               and dispatch.use_pallas())
+    if spatial:
+        from ogmm_tpu.ops.pallas_stream import (_morton3, _pair_tile_bounds,
+                                                nn1_stream)
+        s_ord = jnp.argsort(_morton3(src), axis=-1)
+        src = jnp.take_along_axis(src, s_ord[..., None], axis=1)
+        t_ord = jnp.argsort(_morton3(tgt), axis=-1)
+        tgt = jnp.take_along_axis(tgt, t_ord[..., None], axis=1)
+        _SP_TN, _SP_TM = 256, 2048
+
     # NB: a whole-loop fused kernel exists (ops/pallas_icp.py, interpreter
     # parity in tests/test_icp.py) but measured 13.0 ms vs 5.6 ms for this
     # scan at the bench shape — the Horn power iteration's 900 tiny 4x4
@@ -127,6 +149,11 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
         if use_grid:
             nn_d, nn_i = nn1_radius(moved, grid, cell=threshold,
                                     cap=grid_cap)
+        elif spatial:
+            lb = _pair_tile_bounds(moved, tgt, _SP_TN, _SP_TM)
+            nn_d, nn_i = nn1_stream(moved, tgt, tile_n=_SP_TN,
+                                    tile_m=_SP_TM, cull_lb=lb,
+                                    max_dist_sq=thresh_sq)
         else:
             # prefer_dense: over 30 scan trips XLA's fused (B, N, M) path
             # wins at M <= 1024 (5.7 vs 9.5 ms at the bench shape — per-trip
@@ -218,6 +245,21 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
     if use_grid:
         from ogmm_tpu.ops.grid_nn import nn1_radius
 
+    # spatial large-M auto route — same design as icp_point_to_point
+    # (normals ride the target permutation)
+    spatial = (not use_grid and use_pallas is None and tgt.shape[1] > 4096
+               and dispatch.use_pallas())
+    if spatial:
+        from ogmm_tpu.ops.pallas_stream import (_morton3, _pair_tile_bounds,
+                                                nn1_stream)
+        s_ord = jnp.argsort(_morton3(src), axis=-1)
+        src = jnp.take_along_axis(src, s_ord[..., None], axis=1)
+        t_ord = jnp.argsort(_morton3(tgt), axis=-1)
+        tgt = jnp.take_along_axis(tgt, t_ord[..., None], axis=1)
+        tgt_normals = jnp.take_along_axis(tgt_normals, t_ord[..., None],
+                                          axis=1)
+        _SP_TN, _SP_TM = 256, 2048
+
     def body(carry, _):
         rot, t = carry
         moved = jnp.matmul(src, jnp.swapaxes(rot, -1, -2),
@@ -225,6 +267,11 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
         if use_grid:
             nn_d, nn_i = nn1_radius(moved, grid, cell=threshold,
                                     cap=grid_cap)
+        elif spatial:
+            lb = _pair_tile_bounds(moved, tgt, _SP_TN, _SP_TM)
+            nn_d, nn_i = nn1_stream(moved, tgt, tile_n=_SP_TN,
+                                    tile_m=_SP_TM, cull_lb=lb,
+                                    max_dist_sq=thresh_sq)
         else:
             # same crossover as icp_point_to_point (ops/common.py:nn1)
             nn_d, nn_i = nn1(moved, tgt, prefer_dense=True,

@@ -60,8 +60,14 @@ def _dist_block(q, t, valid_cols):
 # 1-NN: running (min, argmin)
 # --------------------------------------------------------------------------
 
-def _nn1_stream_kernel(src_ref, tgt_ref, d_ref, i_ref, bd, bi,
-                       *, tile_m: int, n_valid_m: int):
+def _nn1_stream_kernel(src_ref, tgt_ref, *rest,
+                       tile_m: int, n_valid_m: int, tile_n: int = 0,
+                       n_valid_n: int = 0, n_m: int = 0, cull: bool = False,
+                       max_dist_sq: float | None = None):
+    if cull:
+        lb_ref, d_ref, i_ref, bd, bi = rest
+    else:
+        d_ref, i_ref, bd, bi = rest
     mi = pl.program_id(2)
 
     @pl.when(mi == 0)
@@ -72,17 +78,41 @@ def _nn1_stream_kernel(src_ref, tgt_ref, d_ref, i_ref, bd, bi,
     q = src_ref[0]                                        # (TN, C)
     t = tgt_ref[0]                                        # (TM, C)
     TN, TM = q.shape[0], t.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + mi * tile_m
-    d2 = _dist_block(q, t, col < n_valid_m)
 
-    bmin = jnp.min(d2, axis=1, keepdims=True)             # (TN, 1)
-    barg = (jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
-            + mi * tile_m)
-    # strict < keeps the earlier tile's index on exact ties — identical to a
-    # global argmin (first minimum wins)
-    better = bmin < bd[...]
-    bd[...] = jnp.where(better, bmin, bd[...])
-    bi[...] = jnp.where(better, barg, bi[...])
+    if cull:
+        # AABB block cull, 1-NN flavour (see _knn_stream_kernel): the
+        # worst-over-valid-rows running best distance bounds what a block
+        # must beat; when the caller only consumes neighbours within
+        # max_dist_sq (the ICP inlier gate), the bound is clamped there —
+        # blocks farther than the gate cull IMMEDIATELY, carry state
+        # regardless (rows whose true 1-NN lies beyond the gate may then
+        # report inf / an arbitrary index, which the gate zero-weights).
+        rowg = (jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+                + pl.program_id(1) * tile_n)
+        worst = jnp.max(jnp.where(rowg < n_valid_n, bd[...], -jnp.inf))
+        if max_dist_sq is not None:
+            worst = jnp.minimum(worst, jnp.float32(max_dist_sq))
+        lbrow = lb_ref[0]                                  # (1, T_n * n_m)
+        lbcol = jax.lax.broadcasted_iota(jnp.int32, lbrow.shape, 1)
+        lb = jnp.sum(jnp.where(
+            lbcol == pl.program_id(1) * n_m + mi, lbrow, 0.0))
+        visit = lb <= worst * (1.0 + 1e-6) + 1e-6
+    else:
+        visit = True
+
+    @pl.when(visit)
+    def _visit():
+        col = jax.lax.broadcasted_iota(jnp.int32, (TN, TM), 1) + mi * tile_m
+        d2 = _dist_block(q, t, col < n_valid_m)
+
+        bmin = jnp.min(d2, axis=1, keepdims=True)         # (TN, 1)
+        barg = (jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None]
+                + mi * tile_m)
+        # strict < keeps the earlier tile's index on exact ties — identical
+        # to a global argmin (first minimum wins)
+        better = bmin < bd[...]
+        bd[...] = jnp.where(better, bmin, bd[...])
+        bi[...] = jnp.where(better, barg, bi[...])
 
     @pl.when(mi == pl.num_programs(2) - 1)
     def _flush():
@@ -90,28 +120,52 @@ def _nn1_stream_kernel(src_ref, tgt_ref, d_ref, i_ref, bd, bi,
         i_ref[0] = bi[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret",
+                                             "max_dist_sq"))
 def nn1_stream(src: jnp.ndarray, tgt: jnp.ndarray,
                tile_n: int = 256, tile_m: int = 2048,
-               interpret: bool = False):
+               interpret: bool = False,
+               cull_lb: jnp.ndarray | None = None,
+               max_dist_sq: float | None = None):
     """(B,N,C) x (B,M,C) -> (min_sqdist (B,N), idx (B,N)), M streamed.
 
     Drop-in for ops/pallas_knn.py:nn1_pallas at any M — VMEM holds only a
     (tile_n, tile_m) block plus a (tile_n, 1) carry.
+
+    `cull_lb` ((B, T_n, T_m) f32, optional): AABB lower bounds per tile
+    pair; blocks bounded above the worst running best distance skip
+    entirely. `max_dist_sq` (with cull_lb) additionally clamps that bound
+    to the caller's consumption gate: ONLY sound when every consumer
+    discards neighbours at squared distance >= max_dist_sq (the ICP inlier
+    gate) — rows whose true 1-NN lies beyond it may report an arbitrary
+    index and d2=inf.
     """
     B, N, C = src.shape
     M = tgt.shape[1]
     tile_n = min(tile_n, N)
     tile_m = min(tile_m, M)
-    grid = (B, pl.cdiv(N, tile_n), pl.cdiv(M, tile_m))
-    kern = functools.partial(_nn1_stream_kernel, tile_m=tile_m, n_valid_m=M)
+    n_m = pl.cdiv(M, tile_m)
+    cull = cull_lb is not None
+    grid = (B, pl.cdiv(N, tile_n), n_m)
+    kern = functools.partial(_nn1_stream_kernel, tile_m=tile_m, n_valid_m=M,
+                             tile_n=tile_n, n_valid_n=N, n_m=n_m, cull=cull,
+                             max_dist_sq=max_dist_sq if cull else None)
+    in_specs = [pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_m, C), lambda b, i, m: (b, m, 0),
+                             memory_space=pltpu.VMEM)]
+    args = (src.astype(jnp.float32), tgt.astype(jnp.float32))
+    if cull:
+        assert cull_lb.shape == (B, grid[1], n_m), (cull_lb.shape, grid)
+        flat = cull_lb.astype(jnp.float32).reshape(B, 1, grid[1] * n_m)
+        in_specs.append(pl.BlockSpec((1, 1, grid[1] * n_m),
+                                     lambda b, i, m: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args += (flat,)
     d, i = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((1, tile_n, C), lambda b, i, m: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_m, C), lambda b, i, m: (b, m, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, tile_n, 1), lambda b, i, m: (b, i, 0),
@@ -121,7 +175,7 @@ def nn1_stream(src: jnp.ndarray, tgt: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((tile_n, 1), jnp.float32),
                         pltpu.VMEM((tile_n, 1), jnp.int32)],
         interpret=interpret,
-    )(src.astype(jnp.float32), tgt.astype(jnp.float32))
+    )(*args)
     return d[..., 0], i[..., 0]
 
 
@@ -444,13 +498,21 @@ def _tile_pair_bounds(xs: jnp.ndarray, tile_n: int,
     (never culls; the kernel's column-validity mask handles pad columns
     and pad ROWS only ever shrink `worst`).
     """
-    nlo, nhi = _tile_boxes(xs, tile_n)                  # (B, T_n, 3)
-    mlo, mhi = _tile_boxes(xs, tile_m)                  # (B, T_m, 3)
+    return _pair_tile_bounds(xs, xs, tile_n, tile_m)
+
+
+def _pair_tile_bounds(qs: jnp.ndarray, ts: jnp.ndarray, tile_n: int,
+                      tile_m: int) -> jnp.ndarray:
+    """Cross-cloud flavour of _tile_pair_bounds: (B, T_n, T_m) bounds
+    between tiles of a sorted query cloud and a sorted target cloud."""
+    nlo, nhi = _tile_boxes(qs, tile_n)                  # (B, T_n, 3)
+    mlo, mhi = _tile_boxes(ts, tile_m)                  # (B, T_m, 3)
     gap = jnp.maximum(0.0, jnp.maximum(
         nlo[:, :, None, :] - mhi[:, None, :, :],
         mlo[:, None, :, :] - nhi[:, :, None, :]))       # (B, T_n, T_m, 3)
     lb = jnp.sum(gap * gap, axis=-1)
-    tol = 1e-5 * (1.0 + 2.0 * jnp.max(jnp.sum(xs * xs, axis=-1), axis=1))
+    tol = 1e-5 * (1.0 + jnp.max(jnp.sum(qs * qs, axis=-1), axis=1)
+                  + jnp.max(jnp.sum(ts * ts, axis=-1), axis=1))
     lb = jnp.maximum(0.0, lb - tol[:, None, None])
     return jnp.where(jnp.isfinite(lb), lb, 0.0)
 

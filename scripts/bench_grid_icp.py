@@ -70,10 +70,13 @@ def main():
                             (srcs, tgts))[0]
 
     results = {}
+    # r3 verdicts: "stream" (now the Morton-sorted culled spatial route,
+    # ops/icp.py) won 147.1 ms vs 394.8 pre-cull and 8.5-10.3 s for the
+    # grid at cap 8/16; grid_cap32 FAULTS the TPU worker (kernel fault,
+    # documented in ops/icp.py:_maybe_grid) and is deliberately absent.
     variants = [("stream", dict(use_grid=False)),
                 ("grid_cap8", dict(use_grid=True, grid_cap=8)),
-                ("grid_cap16", dict(use_grid=True, grid_cap=16)),
-                ("grid_cap32", dict(use_grid=True, grid_cap=32))]
+                ("grid_cap16", dict(use_grid=True, grid_cap=16))]
     base = None
     for name, kw in variants:
         fn = jax.jit(lambda s, t, _kw=kw: scanned(s, t, **_kw))

@@ -237,3 +237,47 @@ def test_grid_icp_serving_trace_has_no_host_callback(rng):
     assert "callback" not in lowered_text(2)
     with debug_callbacks_override(True):
         assert "callback" in lowered_text(3)
+
+
+def test_icp_spatial_route_matches_dense(rng, monkeypatch):
+    """The large-M spatial auto route (Morton-sorted loop + culled
+    streamed 1-NN gated at threshold^2, ops/icp.py) must refine to the
+    same transform as the forced dense path — ICP is permutation-
+    equivariant and the cull only skips blocks the inlier gate would
+    discard. Runs the Pallas kernel in interpreter mode via monkeypatch
+    (the auto route requires a TPU-ish dispatch, forced here)."""
+    import functools
+    import ogmm_tpu.ops.pallas_stream as ps
+    from ogmm_tpu.ops.dispatch import pallas_override
+    from scipy.spatial.transform import Rotation
+
+    B, N = 2, 4201                              # M > 4096: spatial territory
+    src = rng.randn(B, N, 3).astype(np.float32) * 0.3
+    rot = Rotation.from_rotvec(
+        rng.uniform(-.3, .3, (B, 3))).as_matrix().astype(np.float32)
+    t = rng.uniform(-.2, .2, (B, 3)).astype(np.float32)
+    tgt = (np.einsum('bij,bnj->bni', rot, src) + t[:, None])
+    drot = Rotation.from_rotvec(
+        rng.uniform(-.05, .05, (B, 3))).as_matrix().astype(np.float32)
+    init = jnp.concatenate([
+        jnp.asarray(np.einsum('bij,bjk->bik', drot, rot)),
+        jnp.asarray(t)[..., None]], axis=-1)
+    init = jnp.concatenate([init, jnp.broadcast_to(
+        jnp.asarray([0, 0, 0, 1], jnp.float32), (B, 1, 4))], axis=1)
+
+    monkeypatch.setattr(ps, 'nn1_stream',
+                        functools.partial(ps.nn1_stream, interpret=True))
+    with pallas_override(True):
+        Rs, Ts = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt),
+                                    init, threshold=0.07, max_iter=8)
+    Rd, Td = icp_point_to_point(jnp.asarray(src), jnp.asarray(tgt), init,
+                                threshold=0.07, max_iter=8,
+                                use_pallas=False)
+    np.testing.assert_allclose(np.asarray(Rs), np.asarray(Rd),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Ts), np.asarray(Td),
+                               rtol=1e-4, atol=1e-4)
+    # and it genuinely refines
+    tr = np.einsum('bii->b', np.asarray(Rs).transpose(0, 2, 1) @ rot)
+    rre = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+    assert np.all(rre < 0.5), rre

@@ -449,3 +449,44 @@ def test_tile_pair_bounds_are_true_lower_bounds(rng):
                     tj = pts[b, j * tm:(j + 1) * tm]
                     d2 = (((qi[:, None] - tj[None]) ** 2).sum(-1)).min()
                     assert lb[b, i, j] <= d2 + 1e-12, (tn, tm, b, i, j)
+
+
+def test_nn1_stream_cull_identity_and_threshold(rng):
+    """Culled nn1_stream must equal the uncull run wherever a consumer
+    within max_dist_sq could see a difference: indices identical for rows
+    whose true 1-NN is inside the gate; rows beyond the gate may report
+    anything (their weight is zero at every consumer) but must report a
+    distance that still fails the gate."""
+    from ogmm_tpu.ops.pallas_stream import (_morton3, _pair_tile_bounds,
+                                            nn1_stream)
+
+    centers = np.array([[0, 0, 0], [1.2, 0, 0], [0, 1.2, 0]], np.float32)
+    q = (centers[:, None] + 0.05 * rng.randn(3, 50, 3)
+         .astype(np.float32)).reshape(1, 150, 3)
+    # target covers only the first two clusters: the third cluster's
+    # queries have no within-gate neighbour at all
+    t = (centers[:2, None] + 0.05 * rng.randn(2, 90, 3)
+         .astype(np.float32)).reshape(1, 180, 3)
+    qs = jnp.take_along_axis(jnp.asarray(q),
+                             jnp.argsort(_morton3(jnp.asarray(q)))[..., None],
+                             axis=1)
+    ts = jnp.take_along_axis(jnp.asarray(t),
+                             jnp.argsort(_morton3(jnp.asarray(t)))[..., None],
+                             axis=1)
+    lb = _pair_tile_bounds(qs, ts, 32, 32)
+    kw = dict(tile_n=32, tile_m=32, interpret=True)
+    d0, i0 = nn1_stream(qs, ts, **kw)
+    d1, i1 = nn1_stream(qs, ts, cull_lb=lb, **kw)
+    # plain cull (no gate): bit-identical
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # threshold cull: identical within the gate, gated-out beyond it
+    gate = 0.04                                          # squared distance
+    d2_, i2_ = nn1_stream(qs, ts, cull_lb=lb, max_dist_sq=gate, **kw)
+    inside = np.asarray(d0)[0] < gate
+    assert inside.any() and not inside.all()             # both regimes hit
+    np.testing.assert_array_equal(np.asarray(i2_)[0][inside],
+                                  np.asarray(i0)[0][inside])
+    np.testing.assert_array_equal(np.asarray(d2_)[0][inside],
+                                  np.asarray(d0)[0][inside])
+    assert (np.asarray(d2_)[0][~inside] >= gate).all()   # still fails gate
