@@ -272,11 +272,16 @@ def _diag_first(i, m, *, n_m: int, tile_n: int, tile_m: int):
 def _knn_stream_kernel(src_ref, tgt_ref, *rest,
                        k: int, tile_n: int, tile_m: int, n_valid_m: int,
                        n_m: int, unroll: bool, diag_order: bool,
-                       n_valid_n: int = 0, cull: bool = False):
+                       n_valid_n: int = 0, cull: bool = False,
+                       dyn: bool = False):
     if cull:
-        lb_ref, out_ref, cd, ci = rest
+        lb_ref, out_ref, *scratch = rest
     else:
-        out_ref, cd, ci = rest
+        out_ref, *scratch = rest
+    if dyn:
+        cd, ci, ds = scratch
+    else:
+        cd, ci = scratch
     mi = pl.program_id(2)
     phys = (_diag_first(pl.program_id(1), mi, n_m=n_m, tile_n=tile_n,
                         tile_m=tile_m)
@@ -290,6 +295,10 @@ def _knn_stream_kernel(src_ref, tgt_ref, *rest,
     q = src_ref[0]                                        # (TN, C)
     t = tgt_ref[0]                                        # (TM, C)
     TN, TM = q.shape[0], t.shape[0]
+    # global row ids of this query tile; computed at kernel top level —
+    # pl.program_id may not be bound inside pl.when/loop sub-jaxprs
+    rowg = (jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
+            + pl.program_id(1) * tile_n)                  # (TN, 1)
 
     if cull:
         # block cull: lb_ref[i, phys] is an AABB lower bound on every
@@ -301,8 +310,6 @@ def _knn_stream_kernel(src_ref, tgt_ref, *rest,
         # change any carry. The small relative+absolute margin keeps the
         # prune sound under f32 rounding of the computed d2 (the AABB bound
         # is exact-math; computed distances can round slightly below it).
-        rowg = (jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0)
-                + pl.program_id(1) * tile_n)
         kth = cd[...][:, k - 1:k]                          # (TN, 1)
         worst = jnp.max(jnp.where(rowg < n_valid_n, kth, -jnp.inf))
         # lb_ref holds the whole flattened (T_n * n_m) bound table (a few
@@ -323,24 +330,64 @@ def _knn_stream_kernel(src_ref, tgt_ref, *rest,
     def _run_select(improves, d2):
       @pl.when(improves)
       def _select():
-        # block top-k by k argmin-extract passes over the (TN, TM) block
-        def bbody(j, carry):
-            d2, bk_d, bk_i = carry
-            amd = jnp.min(d2, axis=1)                     # (TN,)
-            am = jnp.argmin(d2, axis=1).astype(jnp.int32)
-            hit = col == am[:, None]
-            bk_d = jnp.where(colk == j, amd[:, None], bk_d)
-            bk_i = jnp.where(colk == j, (am + phys * tile_m)[:, None], bk_i)
-            return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
+        if dyn:
+            # Dynamic-trip selection: only candidates at-or-below the row's
+            # current k-th bound can enter the merged top-k (<= because an
+            # exact tie can still win the lexicographic merge on a lower
+            # global index), so the extract loop needs only as many trips
+            # as the busiest VALID row has such candidates — on coherent
+            # clouds that is 0-3 for most visited blocks, vs k static
+            # passes. The masked block lives in VMEM scratch, NOT loop
+            # state (a fori_loop that carries a (TN, TM) block makes
+            # Mosaic rematerialise it every pass — CLAUDE.md r3).
+            kth = cd[...][:, k - 1:k]                     # (TN, 1)
+            dm = jnp.where(d2 <= kth, d2, jnp.inf)
+            live = (dm < jnp.inf) & (rowg < n_valid_n)
+            cnt = jnp.sum(jnp.where(live, 1, 0), axis=1)  # (TN,)
+            trips = jnp.minimum(jnp.int32(k), jnp.max(cnt))
+            ds[...] = dm
 
-        carry = (d2, jnp.zeros((TN, k), jnp.float32),
-                 jnp.zeros((TN, k), jnp.int32))
-        if unroll:
-            for j in range(k):
-                carry = bbody(j, carry)
-            _, bk_d, bk_i = carry
+            def dbody(j, carry):
+                bk_d, bk_i = carry
+                cur = ds[...]
+                amd = jnp.min(cur, axis=1)                # (TN,)
+                am = jnp.argmin(cur, axis=1).astype(jnp.int32)
+                hit = col == am[:, None]
+                bk_d = jnp.where(colk == j, amd[:, None], bk_d)
+                bk_i = jnp.where(colk == j, (am + phys * tile_m)[:, None],
+                                 bk_i)
+                ds[...] = jnp.where(hit, jnp.inf, cur)
+                return bk_d, bk_i
+
+            # exhausted rows emit (inf, col-0 index) fakes and unfilled
+            # slots stay (inf, BIG) — both lose the distance-first merge
+            # to any finite carry entry, and after the first block (which
+            # always runs unmasked at kth = inf with TM >= k candidates)
+            # the carry is all-finite, so fakes can never reach out_ref.
+            bk_d, bk_i = jax.lax.fori_loop(
+                0, trips, dbody,
+                (jnp.full((TN, k), jnp.inf, jnp.float32),
+                 jnp.full((TN, k), 2 ** 30, jnp.int32)))
         else:
-            _, bk_d, bk_i = jax.lax.fori_loop(0, k, bbody, carry)
+            # block top-k by k argmin-extract passes over the (TN, TM) block
+            def bbody(j, carry):
+                d2, bk_d, bk_i = carry
+                amd = jnp.min(d2, axis=1)                     # (TN,)
+                am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                hit = col == am[:, None]
+                bk_d = jnp.where(colk == j, amd[:, None], bk_d)
+                bk_i = jnp.where(colk == j,
+                                 (am + phys * tile_m)[:, None], bk_i)
+                return jnp.where(hit, jnp.inf, d2), bk_d, bk_i
+
+            carry = (d2, jnp.zeros((TN, k), jnp.float32),
+                     jnp.zeros((TN, k), jnp.int32))
+            if unroll:
+                for j in range(k):
+                    carry = bbody(j, carry)
+                _, bk_d, bk_i = carry
+            else:
+                _, bk_d, bk_i = jax.lax.fori_loop(0, k, bbody, carry)
 
         # merge the sorted carry with the sorted block list: k
         # argmin-extract passes over (TN, 2k), LEXICOGRAPHIC on
@@ -394,12 +441,13 @@ def _knn_stream_kernel(src_ref, tgt_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
                                              "interpret", "unroll",
-                                             "diag_order"))
+                                             "diag_order", "dyn_select"))
 def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
                tile_n: int = 256, tile_m: int = 4096,
                interpret: bool = False, unroll: bool = True,
                diag_order: bool = False,
-               cull_lb: jnp.ndarray | None = None) -> jnp.ndarray:
+               cull_lb: jnp.ndarray | None = None,
+               dyn_select: bool = False) -> jnp.ndarray:
     """(B,N,C) x (B,M,C) -> int32 (B,N,k) ascending distance, M streamed.
 
     `cull_lb` (optional, (B, n_n_tiles, n_m_tiles) f32): per tile-pair
@@ -426,6 +474,14 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     identical either way: the merge is lexicographic on (distance, index)
     and the skip gate passes exact ties (<=), so tie-breaks cannot depend
     on the tile visiting order.
+
+    `dyn_select=True` replaces the static k argmin-extract passes per
+    visited block with a dynamic-trip loop bounded by the number of
+    candidates that actually beat-or-tie their row's current k-th best —
+    most visited blocks late in the stream contribute 0-3 candidates, so
+    selection work collapses on coherent clouds (see _knn_stream_kernel).
+    Exact: the mask can only drop candidates that provably cannot enter
+    the merged top-k. Costs a (tile_n, tile_m) f32 VMEM scratch.
     """
     B, N, C = src.shape
     M = tgt.shape[1]
@@ -438,7 +494,7 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     kern = functools.partial(_knn_stream_kernel, k=k, tile_n=tile_n,
                              tile_m=tile_m, n_valid_m=M, n_m=n_m,
                              unroll=unroll, diag_order=diag_order,
-                             n_valid_n=N, cull=cull)
+                             n_valid_n=N, cull=cull, dyn=dyn_select)
     if diag_order:
         tgt_map = lambda b, i, m: (
             b, _diag_first(i, m, n_m=n_m, tile_n=tile_n, tile_m=tile_m), 0)
@@ -463,8 +519,11 @@ def knn_stream(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
         out_specs=pl.BlockSpec((1, tile_n, k), lambda b, i, m: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, k), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((tile_n, k), jnp.float32),
-                        pltpu.VMEM((tile_n, k), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((tile_n, k), jnp.float32),
+             pltpu.VMEM((tile_n, k), jnp.int32)]
+            + ([pltpu.VMEM((tile_n, tile_m), jnp.float32)]
+               if dyn_select else [])),
         interpret=interpret,
     )(*args)
 
@@ -541,10 +600,11 @@ def _morton3(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
-                                             "interpret"))
+                                             "interpret", "dyn_select"))
 def knn_self_spatial(x: jnp.ndarray, k: int,
                      tile_n: int = 64, tile_m: int = 4096,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     dyn_select: bool = False) -> jnp.ndarray:
     """Self-graph kNN with a Morton pre-sort: (B, N, 3) -> (B, N, k).
 
     Sorting the cloud along a Z-order curve makes index locality track
@@ -579,7 +639,7 @@ def knn_self_spatial(x: jnp.ndarray, k: int,
     lb = _tile_pair_bounds(xs, min(tile_n, N), min(tile_m, N))
     idx_s = knn_stream(xs, xs, k, tile_n=tile_n, tile_m=tile_m,
                        interpret=interpret, diag_order=True,
-                       cull_lb=lb)                                # sorted ids
+                       cull_lb=lb, dyn_select=dyn_select)         # sorted ids
     # sorted-space neighbour ids -> original ids
     orig = jnp.take_along_axis(order, idx_s.reshape(B, -1),
                                axis=1).reshape(B, N, k)
@@ -731,7 +791,15 @@ def _wproject_bwd(tile_n, tile_m, interpret, res, g):
     gs = jnp.moveaxis(g32.reshape(B, nc, chunk, 1), 1, 0)
     vrow = v32[..., 0]                                      # (B, M)
 
-    def one(args):
+    M = k.shape[1]
+
+    # k_bar/v_bar partials are (B, M, D)/(B, M, 1) PER CHUNK — a lax.map
+    # would stack nc of them before the sum (nc=74, B=4, M=35k, D=512 is a
+    # 21 GB intermediate: the indoor B=4 train step OOM'd exactly there,
+    # r3d). Accumulate them in a lax.scan carry instead; only the cheap
+    # (nc, B, chunk, D) q_bar chunks are stacked.
+    def one(carry, args):
+        kacc, vacc = carry
         qc, lc, oc, gc = args
         s = jnp.einsum('bnd,bmd->bnm', qc, k32,
                        preferred_element_type=jnp.float32)
@@ -740,13 +808,15 @@ def _wproject_bwd(tile_n, tile_m, interpret, res, g):
         qbar = jnp.einsum('bnm,bmd->bnd', sbar, k32)
         kbar = jnp.einsum('bnm,bnd->bmd', sbar, qc)
         vbar = jnp.einsum('bnm,bnd->bmd', p, gc)            # (B, M, 1)
-        return qbar, kbar, vbar
+        return (kacc + kbar, vacc + vbar), qbar
 
-    qbars, kbars, vbars = jax.lax.map(one, (qs, lses, outs, gs))
+    (kbar, vbar), qbars = jax.lax.scan(
+        one, (jnp.zeros((B, M, D), jnp.float32),
+              jnp.zeros((B, M, 1), jnp.float32)), (qs, lses, outs, gs))
     qbar = jnp.moveaxis(qbars, 0, 1).reshape(B, -1, D)[:, :N]
     return (qbar.astype(q.dtype),
-            jnp.sum(kbars, axis=0).astype(k.dtype),
-            jnp.sum(vbars, axis=0).astype(v.dtype))
+            kbar.astype(k.dtype),
+            vbar.astype(v.dtype))
 
 
 _wproject.defvjp(_wproject_fwd, _wproject_bwd)

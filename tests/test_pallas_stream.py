@@ -490,3 +490,52 @@ def test_nn1_stream_cull_identity_and_threshold(rng):
     np.testing.assert_array_equal(np.asarray(d2_)[0][inside],
                                   np.asarray(d0)[0][inside])
     assert (np.asarray(d2_)[0][~inside] >= gate).all()   # still fails gate
+
+
+# --------------------------------------------------------------------------
+# dynamic-trip selection (dyn_select=True): exactness vs the static path
+# --------------------------------------------------------------------------
+
+def test_knn_stream_dyn_select_matches_topk(rng):
+    src, tgt = _clouds(rng)
+    ref = knn(src, tgt, 8, use_pallas=False)
+    out = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True,
+                     dyn_select=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_knn_stream_dyn_select_tie_order_lowest_index():
+    # all-identical targets: the dyn mask keeps exact ties (<=), so the
+    # lexicographic merge must still yield 0..k-1 across m-tiles
+    src = jnp.zeros((1, 8, 3), jnp.float32)
+    tgt = jnp.ones((1, 40, 3), jnp.float32)
+    out = knn_stream(src, tgt, 6, tile_n=8, tile_m=16, interpret=True,
+                     dyn_select=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.broadcast_to(np.arange(6), (1, 8, 6)))
+
+
+def test_knn_stream_dyn_select_diag_order_and_cull(rng):
+    # the full indoor composition: Morton sort + diag-first + AABB cull +
+    # dynamic-trip selection must be bit-identical to the plain kernel
+    from ogmm_tpu.ops.pallas_stream import (_morton3, _tile_pair_bounds)
+    x = rng.randn(2, 150, 3).astype(np.float32)
+    x[:, 97] = x[:, 12]                     # exact tie across tiles
+    xs = jnp.take_along_axis(jnp.asarray(x),
+                             jnp.argsort(_morton3(jnp.asarray(x)))[..., None],
+                             axis=1)
+    lb = _tile_pair_bounds(xs, 32, 32)
+    kw = dict(tile_n=32, tile_m=32, interpret=True)
+    ref = knn_stream(xs, xs, 8, **kw)
+    out = knn_stream(xs, xs, 8, diag_order=True, cull_lb=lb,
+                     dyn_select=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_knn_self_spatial_dyn_select_same_result(rng):
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial
+    x = jnp.asarray(rng.randn(2, 150, 3).astype(np.float32))
+    a = knn_self_spatial(x, 10, tile_n=64, tile_m=64, interpret=True)
+    b = knn_self_spatial(x, 10, tile_n=64, tile_m=64, interpret=True,
+                         dyn_select=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
