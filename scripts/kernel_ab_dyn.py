@@ -93,6 +93,58 @@ def main():
     b = np.asarray(knn_self_spatial(xs, k, dyn_select=True))
     print("chip identity static==dyn:", (a == b).mean(), flush=True)
 
+    # --- wproject_stream query-tile sweep -------------------------------
+    # Every query tile re-reads the WHOLE k_feats array (N/tile_n passes of
+    # M*D bytes): at the indoor shape that re-read IS the kernel's 11 ms.
+    # Bigger tile_n divides it directly; VMEM caps the sweep (the kernel
+    # holds q, k blocks + two (TN, TM) f32 intermediates).
+    from ogmm_tpu.ops.pallas_stream import wproject_stream
+    D = 512
+    g = np.random.RandomState(1)
+
+    def wstack(seed, dt):
+        h = np.random.RandomState(seed)
+        qf = jnp.asarray(h.randn(R, B, N, D).astype(np.float32)).astype(dt)
+        kf = jnp.asarray(h.randn(R, B, N, D).astype(np.float32)).astype(dt)
+        vv = jnp.asarray(h.rand(R, B, N, 1).astype(np.float32))
+        return qf, kf, vv
+
+    wvariants = [
+        ("tn256  tm1024 (shipped)", dict(tile_n=256, tile_m=1024)),
+        ("tn512  tm1024", dict(tile_n=512, tile_m=1024)),
+        ("tn1024 tm1024", dict(tile_n=1024, tile_m=1024)),
+        ("tn512  tm2048", dict(tile_n=512, tile_m=2048)),
+        ("tn1024 tm2048", dict(tile_n=1024, tile_m=2048)),
+        ("tn2048 tm1024", dict(tile_n=2048, tile_m=1024)),
+    ]
+    for dt, dtname in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        for label, kw in wvariants:
+            def scanned_w(args, _kw=kw):
+                qs, ks, vs = args
+                def body(c, x):
+                    q, kk, v = x
+                    o = wproject_stream(q, kk, v, **_kw)
+                    return c + o.sum(dtype=jnp.float32), None
+                return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    (qs, ks, vs))[0]
+
+            f = jax.jit(scanned_w)
+            try:
+                np.asarray(f(wstack(0, dt)))
+            except Exception as e:
+                print(f"wproject {dtname} {label}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            ts = []
+            for seed in (3, 4, 5):
+                args = wstack(seed, dt)
+                t0 = time.perf_counter()
+                np.asarray(f(args))
+                ts.append(time.perf_counter() - t0)
+            per = (min(ts) - rtt) / R * 1e3
+            print(f"wproject {dtname} {label}: {per:.1f} ms for {B} calls "
+                  f"({per/B:.2f} ms/call)", flush=True)
+
 
 if __name__ == "__main__":
     main()
