@@ -134,6 +134,33 @@ class Registrar:
         rot, trans, src_o, tgt_o, _ = out
         return rot, trans, src_o, tgt_o
 
+    def sharded(self, mesh=None, refine: bool = True, axis: str = "sp"):
+        """Point-sharded (sequence-parallel) forward over a device mesh.
+
+        Returns `fn(src, tgt) -> (rot, trans, src_overlap, tgt_overlap)`
+        computing ONE forward cooperatively across `mesh` (default: a 1-D
+        mesh over all local devices) — the serving shape the reference's
+        batch-parallelism cannot express: its indoor operating point is
+        eval batch 1 at ~35k points (reference configs/cfgs.py:100), where
+        only the point axis has parallelism to give. See parallel/sp.py.
+        GMMReg only (DeepGMR's forward is already sub-6 ms single-chip).
+        """
+        if self.cfg.model_name != "GMMReg":
+            raise NotImplementedError(
+                "sharded serving implements the GMMReg forward")
+        from ogmm_tpu.parallel import make_sp_eval, sp_mesh
+        if mesh is None:
+            mesh = sp_mesh(axis=axis)
+        inner = make_sp_eval(self.variables, self.cfg, mesh, axis=axis,
+                             is_test=refine)
+
+        def fn(src, tgt):
+            rot, trans, src_o, tgt_o, _ = inner(
+                jnp.asarray(src, jnp.float32), jnp.asarray(tgt, jnp.float32))
+            return rot, trans, src_o, tgt_o
+
+        return fn
+
     def transform(self, rot, trans, points):
         """Apply the predicted rigid transform to (B, N, 3) points."""
         from ogmm_tpu.core import se3

@@ -130,7 +130,8 @@ def _svd_rotation(cov: jnp.ndarray) -> jnp.ndarray:
 
 
 def rigid_transform(src: jnp.ndarray, src_corr: jnp.ndarray,
-                    weight: jnp.ndarray, method: str = "horn"
+                    weight: jnp.ndarray, method: str = "horn",
+                    axis_name: str | None = None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted Procrustes: find (R, t) minimising sum_i w_i |R s_i + t - c_i|^2.
 
@@ -139,6 +140,9 @@ def rigid_transform(src: jnp.ndarray, src_corr: jnp.ndarray,
       src_corr: (B, N, 3) corresponding (pseudo-)target points.
       weight: (B, N) non-negative correspondence weights.
       method: 'horn' (batched 4x4 eigh, default) or 'svd'.
+      axis_name: the point axis is sharded over that mesh axis
+        (parallel/sp.py) — every weighted moment psums across shards; the
+        tiny 3x3/4x4 solve then runs replicated.
 
     Returns:
       rot (B, 3, 3), trans (B, 3, 1) with R src + t ~= src_corr.
@@ -147,15 +151,23 @@ def rigid_transform(src: jnp.ndarray, src_corr: jnp.ndarray,
     identity fallback for non-finite covariances mirror lib/se3.py:274-279.
     """
     w = weight[..., None]  # (B, N, 1)
-    wsum = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
-    src_mean = (src * w).sum(axis=1, keepdims=True) / wsum
-    corr_mean = (src_corr * w).sum(axis=1, keepdims=True) / wsum
+    wsum = w.sum(axis=1, keepdims=True)
+    src_sum = (src * w).sum(axis=1, keepdims=True)
+    corr_sum = (src_corr * w).sum(axis=1, keepdims=True)
+    if axis_name is not None:
+        wsum, src_sum, corr_sum = jax.lax.psum(
+            (wsum, src_sum, corr_sum), axis_name)
+    wsum = jnp.maximum(wsum, 1e-12)
+    src_mean = src_sum / wsum
+    corr_mean = corr_sum / wsum
     src_c = src - src_mean
     corr_c = src_corr - corr_mean
     # cov[b] = sum_n w_n src_c[n]^T corr_c[n]  -> (B, 3, 3), row=src axis, col=corr axis
     cov = jnp.einsum('bni,bnj->bij', src_c * w, corr_c,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
+    if axis_name is not None:
+        cov = jax.lax.psum(cov, axis_name)
     eye = jnp.eye(3, dtype=cov.dtype)
     finite = jnp.all(jnp.isfinite(cov), axis=(-2, -1), keepdims=True)
     cov = jnp.where(finite, cov, 0.0) + 1e-5 * eye

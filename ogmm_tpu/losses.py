@@ -71,15 +71,21 @@ def con_loss(x: jnp.ndarray, y: jnp.ndarray, tau: float = 0.01,
     return jnp.mean(jax.nn.logsumexp(logits, axis=-1) - logits[..., 0])
 
 
-def clu_loss(xyz, node_xyz, feats, gamma, tau: float = 0.1):
+def clu_loss(xyz, node_xyz, feats, gamma, tau: float = 0.1,
+             axis_name: str | None = None):
     """Clustering contrastive loss. Reference: lib/loss.py:109-118 (`CluLoss`).
 
     Positives: gamma-weighted mean features per cluster vs the features of the
     point nearest each cluster mean. All inputs channel-last:
     xyz (B,N,3), node_xyz (B,K,3), feats (B,N,C), gamma (B,N,K).
+
+    `axis_name`: xyz/feats/gamma carry a point shard (parallel/sp.py) —
+    both K-level feature sets assemble via psum/argmin-combine and the
+    K x K contrastive loss itself is replicated.
     """
-    feats_pos = gmm_params(gamma, feats)[1]               # (B, K, C)
-    feats_anchor = get_local_corrs(xyz, node_xyz, feats)  # (B, K, C)
+    feats_pos = gmm_params(gamma, feats, axis_name=axis_name)[1]  # (B, K, C)
+    feats_anchor = get_local_corrs(xyz, node_xyz, feats,
+                                   axis_name=axis_name)           # (B, K, C)
     return con_loss(feats_anchor, feats_pos, tau=tau)
 
 

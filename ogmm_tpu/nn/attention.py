@@ -37,9 +37,19 @@ class PositionEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True,
-                 nbr_idx: jnp.ndarray | None = None):
+                 nbr_idx: jnp.ndarray | None = None,
+                 centroid: jnp.ndarray | None = None,
+                 nbr_pts: jnp.ndarray | None = None):
+        """points (B, N, 3) -> (B, N, dim).
+
+        Point-sharded forwards (parallel/sp.py) call this on a device-local
+        chunk: `centroid` then carries the FULL cloud's centroid (B, 1, 3)
+        and `nbr_pts` the full replicated cloud the global `nbr_idx` gathers
+        from; both default to single-device semantics.
+        """
         B, N, _ = points.shape
-        centroid = points.mean(axis=1, keepdims=True)        # (B, 1, 3)
+        if centroid is None:
+            centroid = points.mean(axis=1, keepdims=True)    # (B, 1, 3)
         p2gc = points - centroid                             # (B, N, 3)
         g_dis = (p2gc ** 2).sum(axis=-1, keepdims=True)      # (B, N, 1)
         if self.dtype is not None:
@@ -63,7 +73,8 @@ class PositionEncoding(nn.Module):
             # ascending with stable ties; kills the second selection sweep
             # that dominated the indoor profile, profiles/r3)
             idx = nbr_idx if nbr_idx is not None else knn(points, points, k)
-            p2lc = gather_neighbors(points, idx) - points[:, :, None, :]
+            src = nbr_pts if nbr_pts is not None else points
+            p2lc = gather_neighbors(src, idx) - points[:, :, None, :]
             alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
                                l2_normalize(p2gc))[..., None]  # (B, N, k, 1)
         if self.dtype is not None:
@@ -119,10 +130,16 @@ class TransformerBlock(nn.Module):
     feature_dim: int
     num_heads: int
     dtype: str | None = None
+    # mesh axis sharding the POINT (query) dimension (parallel/sp.py). The
+    # attention itself is already shard-local (queries local, anchor
+    # keys/values replicated); only the PointMLP's InstanceNorm moments
+    # need the cross-shard psum.
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, src, tgt, train: bool = True):
         message = MultiHeadAttention(self.num_heads, self.feature_dim,
                                      self.dtype)(src, tgt, tgt)
-        return PointMLP((self.feature_dim * 2, self.feature_dim), self.dtype)(
+        return PointMLP((self.feature_dim * 2, self.feature_dim), self.dtype,
+                        sp_axis=self.sp_axis)(
             jnp.concatenate([src, message], axis=-1), train=train)

@@ -87,7 +87,8 @@ class DGCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
-                 nbr_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+                 nbr_idx: jnp.ndarray | None = None,
+                 nbr_pts: jnp.ndarray | None = None) -> jnp.ndarray:
         """x: (B, N, 3) points -> (B, N, emb_dims) features.
 
         `nbr_idx` (B, N, k) optionally supplies the kNN graph (the naive
@@ -95,6 +96,12 @@ class DGCNN(nn.Module):
         N <= 1024). GMMReg passes a shared graph at large N, where the kNN
         selection dominates the forward (profiles/r3): the position
         encoding's k=5 graph is a prefix of this k=20 graph.
+
+        `nbr_pts` (B, M, 3) supplies the gather source for the edge
+        features when x is a device-local query chunk of a point-sharded
+        forward (parallel/sp.py) and nbr_idx holds global indices into it.
+        Setting it disables the fused kernels (they are whole-cloud
+        single-device designs).
         """
         init = nn.initializers.lecun_normal()
         dims = [6] + list(_STAGES)
@@ -106,7 +113,8 @@ class DGCNN(nn.Module):
         if fused is None:
             from ogmm_tpu.ops.dispatch import use_pallas as _auto
             # N bound: the fused kernel holds an (N, N) f32 block in VMEM
-            fused = (not train) and x.shape[1] <= 1024 and _auto()
+            fused = (not train) and x.shape[1] <= 1024 and _auto() \
+                and nbr_pts is None
 
         if fused and not self.is_initializing():
             from ogmm_tpu.ops.pallas_dgcnn import dgcnn_eval_pallas
@@ -123,7 +131,7 @@ class DGCNN(nn.Module):
             # auto: TPU + fusable N. Measured 52.5 vs 53.3 ms/step naive at
             # the bench shape (graph_stage1 kernel replaces kNN + edge
             # gather); CPU keeps the naive composition.
-            fused_train = x.shape[1] <= 1024 and _auto()
+            fused_train = x.shape[1] <= 1024 and _auto() and nbr_pts is None
         elif fused_train and self.bn_axis_name is not None:
             # an explicit force must not silently measure the naive path
             # (ADVICE r2): the fused custom-VJP path computes BN moments
@@ -157,7 +165,7 @@ class DGCNN(nn.Module):
             return out
 
         idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
-        e = graph_feature(x, self.k, idx=idx)        # (B, N, k, 6)
+        e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)
         if self.dtype is not None:
             e = e.astype(self.dtype)                 # halve edge-tensor HBM traffic
 

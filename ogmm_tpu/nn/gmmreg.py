@@ -33,7 +33,8 @@ from ogmm_tpu.losses import clu_loss
 from ogmm_tpu.nn.attention import PositionEncoding, TransformerBlock
 from ogmm_tpu.nn.dgcnn import DGCNN
 from ogmm_tpu.nn.layers import ConvHead
-from ogmm_tpu.ops.common import cos_similarity, index_points, l2_normalize
+from ogmm_tpu.ops.common import (cos_similarity, index_points,
+                                 index_points_sp, l2_normalize)
 from ogmm_tpu.ops.fps import farthest_point_sample
 from ogmm_tpu.ops.gmm import wkeans_plus
 from ogmm_tpu.ops.icp import icp_point_to_point
@@ -92,10 +93,21 @@ class GMMReg(nn.Module):
     """
     cfg: ModelConfig = ModelConfig()
     bn_axis_name: Optional[str] = None
+    # Point-sharded (sequence-parallel) eval: the mesh axis that shards the
+    # POINT dimension. Callers (parallel/sp.py) pass device-local chunks as
+    # src/tgt plus the full replicated clouds as full_src/full_tgt; per-point
+    # compute stays shard-local and the cross-shard reductions (EM moments,
+    # InstanceNorm stats, overlap softmax key side, Procrustes/ICP moments,
+    # anchor gathers) run as XLA collectives. Eval-only (BN batch statistics
+    # make the training semantics a different contract) and stacked-path
+    # only (the serving default).
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, tgt: jnp.ndarray,
-                 train: bool = True, is_test: bool = False):
+                 train: bool = True, is_test: bool = False,
+                 full_src: Optional[jnp.ndarray] = None,
+                 full_tgt: Optional[jnp.ndarray] = None):
         cfg = self.cfg
         D = cfg.emb_dims
         km = cfg.km_clusters
@@ -104,6 +116,18 @@ class GMMReg(nn.Module):
         assert N == M, (
             "the reference overlap head mixes src/tgt point axes and requires "
             "equal point counts (models/gmmreg.py:79-80)")
+
+        sp = self.sp_axis
+        if sp is not None:
+            assert not train, (
+                "sp_axis is an eval/serving contract: BN batch statistics "
+                "over a point shard are not reference semantics")
+            assert full_src is not None and full_tgt is not None, (
+                "sp_axis needs the full replicated clouds (full_src/full_tgt)"
+                " beside the device-local chunks")
+            assert full_src.shape[1] == full_tgt.shape[1]
+            assert cfg.pos_k <= cfg.gnn_k, (
+                "sp shares one kNN graph; pos_k must be a prefix of gnn_k")
 
         # compute dtype for the network body; geometry (kNN, FPS, clustering,
         # Procrustes, ICP) always runs fp32
@@ -127,18 +151,23 @@ class GMMReg(nn.Module):
         # compute once, slice. Below the fused-kernel envelope (N <= 1024)
         # the in-VMEM kernels build their own graphs faster than a shared
         # HBM round-trip, so sharing only engages above it.
-        share_graph = N > 1024 and cfg.pos_k <= cfg.gnn_k
+        share_graph = sp is not None or (N > 1024 and cfg.pos_k <= cfg.gnn_k)
 
-        def cloud_graph(pts):
+        def cloud_graph(pts, full_pts=None):
             from ogmm_tpu.ops.common import knn as _knn
-            return _knn(pts, pts, cfg.gnn_k) if share_graph else None
+            if not share_graph:
+                return None
+            # sp: local query rows against the full replicated cloud —
+            # global indices out, every downstream gather reads full_pts
+            tgt_pts = full_pts if full_pts is not None else pts
+            return _knn(pts, tgt_pts, cfg.gnn_k)
 
         dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
                       fused_train=cfg.dgcnn_fused_train)
         pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
-        _sattn1 = TransformerBlock(D, cfg.num_heads, dt)
-        _cattn = TransformerBlock(D, cfg.num_heads, dt)
-        _sattn2 = TransformerBlock(D, cfg.num_heads, dt)
+        _sattn1 = TransformerBlock(D, cfg.num_heads, dt, sp_axis=sp)
+        _cattn = TransformerBlock(D, cfg.num_heads, dt, sp_axis=sp)
+        _sattn2 = TransformerBlock(D, cfg.num_heads, dt, sp_axis=sp)
         _conv1 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
         _conv2 = ConvHead(D, 2 * D, deep=True, bn_axis_name=self.bn_axis_name, dtype=dt)
         _proj = ConvHead(1, D // 2, deep=False, bn_axis_name=self.bn_axis_name, dtype=dt)
@@ -189,39 +218,69 @@ class GMMReg(nn.Module):
         # per-cloud calls — the reference updates BN batch statistics once
         # per cloud (models/gmmreg.py:52-53) and stacking would change them.
         stacked = (cfg.stack_eval and not train) or (cfg.stack_train and train)
+        assert sp is None or stacked, (
+            "sp_axis requires the stacked eval path (the serving default; "
+            "set stack_eval=True)")
 
         if stacked:
             both = jnp.concatenate([src, tgt], axis=0)          # (2B, N, 3)
+            # sp: `both` holds the device-local chunks; FPS / clustering
+            # init / kNN targets / edge gathers read the full replicated
+            # clouds, and anchor-feature gathers become psum-assembled
+            # cross-shard gathers (ops/common.py:index_points_sp).
+            both_full = (jnp.concatenate([full_src, full_tgt], axis=0)
+                         if sp is not None else None)
+            fps_base = both_full if sp is not None else both
+            gather = ((lambda a, i: index_points_sp(a, i, sp))
+                      if sp is not None else index_points)
             n_stages = 3 if cfg.recompute_anchors else 1
             center_ids = None
             if not cfg.recompute_anchors and km == cfg.n_clusters:
                 # anchors + clustering init share one 128-step FPS loop
                 from ogmm_tpu.ops.fps import fps_combined
-                anchor_ids, center_ids = fps_combined(both, km, key=ks[0])
+                anchor_ids, center_ids = fps_combined(fps_base, km, key=ks[0])
                 ids = [anchor_ids] * 3
             else:
-                ids = [farthest_point_sample(both, km, is_center=False,
+                ids = [farthest_point_sample(fps_base, km, is_center=False,
                                              key=ks[i])
                        for i in range(n_stages)]
                 if not cfg.recompute_anchors:
                     ids = ids * 3
 
-            g_both = cloud_graph(both)
-            feats = dgcnn(both, train, nbr_idx=g_both)          # (2B, N, D)
-            anchor0 = index_points(feats, ids[0])
+            g_both = cloud_graph(both, both_full)
+            feats = dgcnn(both, train, nbr_idx=g_both, nbr_pts=both_full)
+            anchor0 = gather(feats, ids[0])
             t_all = feats + pos_enc(
                 both, cfg.pos_k, train,
-                nbr_idx=None if g_both is None else g_both[..., :cfg.pos_k])
+                nbr_idx=None if g_both is None else g_both[..., :cfg.pos_k],
+                centroid=(None if sp is None
+                          else both_full.mean(axis=1, keepdims=True)),
+                nbr_pts=both_full)
             t_all = conv1(sattn1(t_all, anchor0) + t_all)
 
-            anchor1 = index_points(t_all, ids[1])
+            anchor1 = gather(t_all, ids[1])
             swapped = jnp.concatenate([anchor1[B:], anchor1[:B]], axis=0)
             f_all = cattn(t_all, swapped) + t_all
 
             src_f, tgt_f = f_all[:B], f_all[B:]
             o_all = proj(f_all)                          # (2B, N, 1)
             src_o, tgt_o = o_all[:B], o_all[B:]
-            if stream_overlap:
+            if sp is not None:
+                # each shard's query rows attend over the FULL other cloud:
+                # one all-gather of the l2-normalised features + raw scores
+                # (the only per-point tensors that cross shards), then the
+                # streamed/chunked projection exactly as on one device
+                fn_loc = norm32(f_all)
+                fn_full = jax.lax.all_gather(fn_loc, sp, axis=1, tiled=True)
+                o_full = jax.lax.all_gather(o_all, sp, axis=1, tiled=True)
+                from ogmm_tpu.ops.dispatch import use_pallas as _auto
+                if _auto():
+                    from ogmm_tpu.ops.pallas_stream import wproject_stream as _wp
+                else:
+                    from ogmm_tpu.ops.pallas_stream import wproject_chunked as _wp
+                src_wo = _wp(fn_loc[:B], fn_full[B:], o_full[:B])
+                tgt_wo = _wp(fn_loc[B:], fn_full[:B], o_full[B:])
+            elif stream_overlap:
                 fn_all = norm32(f_all)
                 src_wo, tgt_wo = _overlap_wproject(
                     fn_all[:B], fn_all[B:], src_o, tgt_o)
@@ -237,12 +296,22 @@ class GMMReg(nn.Module):
             o_all = nn.sigmoid(
                 overlap(fo_all).astype(jnp.float32)).reshape(2 * B, N)
 
-            anchor2 = index_points(f_all, ids[2])
+            anchor2 = gather(f_all, ids[2])
             f_all = (sattn2(f_all, anchor2) + f_all).astype(jnp.float32)
 
+            init_nodes = None
+            if sp is not None:
+                # clustering init reads the full cloud (wkeans_plus cannot
+                # FPS or gather global rows from a point shard)
+                node0_ids = (center_ids if center_ids is not None
+                             else farthest_point_sample(
+                                 both_full, cfg.n_clusters, is_center=True))
+                init_nodes = index_points(both_full, node0_ids)
+                center_ids = None
             g_all, pi_all, n_all, nf_all = wkeans_plus(
                 both, f_all, o_all, cfg.n_clusters, iters=cfg.em_iters,
-                tau=cfg.tau, init_ids=center_ids)
+                tau=cfg.tau, init_ids=center_ids, init_nodes=init_nodes,
+                axis_name=sp)
             src_f, tgt_f = f_all[:B], f_all[B:]
             src_o, tgt_o = o_all[:B], o_all[B:]
             s_gamma, t_gamma = g_all[:B], g_all[B:]
@@ -330,13 +399,18 @@ class GMMReg(nn.Module):
                                    softmax_temp=cfg.softmax_temp)
 
         # --- clustering contrastive loss (models/gmmreg.py:106-110) --------
-        clu = 0.5 * (clu_loss(src, s_nodes, src_f, s_gamma, tau=0.1)
-                     + clu_loss(tgt, t_nodes, tgt_f, t_gamma, tau=0.1))
+        clu = 0.5 * (clu_loss(src, s_nodes, src_f, s_gamma, tau=0.1,
+                              axis_name=sp)
+                     + clu_loss(tgt, t_nodes, tgt_f, t_gamma, tau=0.1,
+                                axis_name=sp))
 
         if is_test:
             init = jnp.concatenate([rot, trans[..., None]], axis=-1)
+            # sp: local source rows against the full replicated target —
+            # per-trip 1-NN is shard-local, Procrustes moments psum
             rot, trans = icp_point_to_point(
-                src, tgt, init, threshold=2.0 * cfg.overlap_radius,
-                max_iter=cfg.icp_iters)
+                src, full_tgt if sp is not None else tgt, init,
+                threshold=2.0 * cfg.overlap_radius,
+                max_iter=cfg.icp_iters, axis_name=sp)
 
         return rot, trans, src_o, tgt_o, clu

@@ -40,14 +40,28 @@ class BN(nn.Module):
         )(x)
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                  axis_name: str | None = None) -> jnp.ndarray:
     """torch InstanceNorm1d (affine=False) for (B, N, C): normalise over N.
 
     Moments accumulate in fp32 regardless of the compute dtype (bf16 mean/var
-    over 717 points loses too many bits)."""
+    over 717 points loses too many bits).
+
+    `axis_name`: when the POINT axis is sharded over a mesh axis
+    (parallel/sp.py), the per-cloud moments must cover all shards — one
+    fused psum of (sum, sumsq, count) keeps the statistics identical to the
+    unsharded forward."""
     x32 = x.astype(jnp.float32)
-    mean = x32.mean(axis=-2, keepdims=True)
-    var = x32.var(axis=-2, keepdims=True)
+    if axis_name is None:
+        mean = x32.mean(axis=-2, keepdims=True)
+        var = x32.var(axis=-2, keepdims=True)
+    else:
+        n = jnp.asarray(x.shape[-2], jnp.float32)
+        s, sq, n = jax.lax.psum(
+            (x32.sum(axis=-2, keepdims=True),
+             (x32 * x32).sum(axis=-2, keepdims=True), n), axis_name)
+        mean = s / n
+        var = jnp.maximum(sq / n - mean * mean, 0.0)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -89,6 +103,9 @@ class PointMLP(nn.Module):
     """
     channels: Sequence[int]
     dtype: str | None = None
+    # mesh axis sharding the POINT dimension (parallel/sp.py): InstanceNorm
+    # moments psum across shards; None = single-device semantics.
+    sp_axis: str | None = None
 
     def setup(self):
         for i, ch in enumerate(self.channels):
@@ -103,7 +120,7 @@ class PointMLP(nn.Module):
         n = len(self.channels)
         layers = [getattr(self, f'Dense_{i}') for i in range(n)]
         fused = (self.fuse_eval and not train and n == 2
-                 and not self.is_initializing()
+                 and not self.is_initializing() and self.sp_axis is None
                  and x.ndim == 3 and x.shape[1] <= 1024)
         if fused:
             from ogmm_tpu.ops.dispatch import use_pallas
@@ -119,6 +136,6 @@ class PointMLP(nn.Module):
         for i, layer in enumerate(layers):
             x = layer(x)
             if i < n - 1:
-                x = instance_norm(x)
+                x = instance_norm(x, axis_name=self.sp_axis)
                 x = nn.relu(x)
         return x

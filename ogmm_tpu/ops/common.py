@@ -168,17 +168,22 @@ def gather_neighbors(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(B, N, k, points.shape[-1])
 
 
-def graph_feature(x: jnp.ndarray, k: int, idx: jnp.ndarray | None = None
-                  ) -> jnp.ndarray:
+def graph_feature(x: jnp.ndarray, k: int, idx: jnp.ndarray | None = None,
+                  nbr_pts: jnp.ndarray | None = None) -> jnp.ndarray:
     """EdgeConv features: concat[neighbor - x, x] -> (B, N, k, 2C).
 
     Reference: lib/utils.py:47-66 (`get_graph_feature`), channel-first there
     ((B, 2C, N, k)); here channel-last so the following 1x1 convs are Dense
     layers on the lane dimension.
+
+    `nbr_pts` optionally supplies the gather SOURCE for the neighbour rows
+    (default: x itself). Point-sharded forwards (parallel/sp.py) pass the
+    full replicated cloud here while x is the device-local query chunk and
+    idx holds global indices into nbr_pts.
     """
     if idx is None:
         idx = knn(x, x, k)
-    neigh = gather_neighbors(x, idx)              # (B, N, k, C)
+    neigh = gather_neighbors(nbr_pts if nbr_pts is not None else x, idx)
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
 
@@ -206,3 +211,63 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
 def cdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Euclidean (not squared) distance matrix, torch.cdist equivalent."""
     return jnp.sqrt(square_distance(x, y))
+
+
+# ---------------------------------------------------------------------------
+# Point-sharded (sequence-parallel) collective helpers.
+#
+# Inside a shard_map whose mapped axis shards the POINT dimension
+# (parallel/sp.py), per-point tensors live as (B, N/n_dev, C) device-local
+# chunks with GLOBAL row indices still meaningful (shard i owns rows
+# [i*chunk, (i+1)*chunk)). These helpers implement the two cross-shard
+# primitives the forward needs: gather-rows-by-global-index and a global
+# argmin combine. Both are O(B * S) collectives over tiny payloads (anchor
+# counts S <= 128), so they ride ICI at negligible cost next to the
+# per-point compute they coordinate.
+# ---------------------------------------------------------------------------
+
+def sp_local_info(local_n: int, axis_name: str):
+    """(row offset of this shard, global point count) for a sharded axis."""
+    start = jax.lax.axis_index(axis_name) * local_n
+    n_dev = jax.lax.axis_size(axis_name)
+    return start, local_n * n_dev
+
+
+def index_points_sp(points: jnp.ndarray, idx: jnp.ndarray,
+                    axis_name: str) -> jnp.ndarray:
+    """`index_points` over a point-sharded array with global indices.
+
+    points: (B, n_local, C) device-local rows of a global (B, N, C) array;
+    idx: int (B, S) GLOBAL row indices (replicated). Each shard gathers the
+    rows it owns (clipped local gather + ownership mask) and a psum
+    assembles the replicated (B, S, C) result — one collective, no
+    all-gather of the big per-point tensor.
+    """
+    n_local = points.shape[1]
+    start, _ = sp_local_info(n_local, axis_name)
+    local = idx - start                                  # (B, S)
+    own = (local >= 0) & (local < n_local)
+    got = index_points(points, jnp.clip(local, 0, n_local - 1))
+    got = jnp.where(own[..., None], got, jnp.zeros_like(got))
+    return jax.lax.psum(got, axis_name)
+
+
+def nn1_sp(queries: jnp.ndarray, tgt_local: jnp.ndarray,
+           axis_name: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """1-NN of replicated queries against a point-sharded target.
+
+    queries (B, S, C) replicated; tgt_local (B, n_local, C) this shard's
+    rows. Local nn1 per shard, then an all-gather of the tiny (B, S)
+    (distance, global index) pairs picks the global minimum. Returns
+    (min_sqdist (B, S), global idx (B, S)), replicated.
+    """
+    n_local = tgt_local.shape[1]
+    start, _ = sp_local_info(n_local, axis_name)
+    d, i = nn1(queries, tgt_local)
+    i = i + start
+    d_all = jax.lax.all_gather(d, axis_name)             # (n_dev, B, S)
+    i_all = jax.lax.all_gather(i, axis_name)
+    sel = jnp.argmin(d_all, axis=0)                      # (B, S)
+    d_min = jnp.take_along_axis(d_all, sel[None], axis=0)[0]
+    i_min = jnp.take_along_axis(i_all, sel[None], axis=0)[0]
+    return d_min, i_min

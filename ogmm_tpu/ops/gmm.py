@@ -23,25 +23,39 @@ from ogmm_tpu.ops.sinkhorn import sinkhorn
 
 
 def gmm_params(gamma: jnp.ndarray, pts: jnp.ndarray,
-               return_sigma: bool = False):
+               return_sigma: bool = False,
+               axis_name: str | None = None):
     """Mixture weights / means (/ isotropic covariances) from responsibilities.
 
     gamma: (B, N, J) responsibilities; pts: (B, N, D).
     Returns pi (B, J), mu (B, J, D) [, sigma (B, J, D, D) diagonal-isotropic].
     Reference: lib/utils.py:130-149.
+
+    `axis_name`: the point axis is sharded over that mesh axis
+    (parallel/sp.py) — gamma/pts hold this shard's rows and every moment is
+    a psum over shards; outputs are replicated and equal the unsharded
+    values up to summation order.
     """
     N = gamma.shape[1]
     D = pts.shape[-1]
-    pi = gamma.mean(axis=1)                      # (B, J)
+    gsum = gamma.sum(axis=1)                     # (B, J)
+    mu_num = jnp.einsum('bnj,bnd->bjd', gamma, pts,
+                        preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        gsum, mu_num = jax.lax.psum((gsum, mu_num), axis_name)
+        N = N * jax.lax.axis_size(axis_name)
+    pi = gsum / N                                # (B, J)
     npi = pi * N + 1e-5
-    mu = jnp.einsum('bnj,bnd->bjd', gamma, pts,
-                    preferred_element_type=jnp.float32) / npi[..., None]
+    mu = mu_num / npi[..., None]
     if not return_sigma:
         return pi, mu
     diff = pts[:, :, None, :] - mu[:, None, :, :]          # (B, N, J, D)
     # isotropic: mean squared distance along each axis, times identity
     sq = jnp.einsum('bnjd,bnjd->bnj', diff, diff)          # (B, N, J) = |diff|^2
-    var = jnp.einsum('bnj,bnj->bj', sq, gamma) / npi       # (B, J)
+    var = jnp.einsum('bnj,bnj->bj', sq, gamma)             # (B, J)
+    if axis_name is not None:
+        var = jax.lax.psum(var, axis_name)
+    var = var / npi
     eye = jnp.eye(D, dtype=pts.dtype)
     sigma = var[..., None, None] * eye
     return pi, mu, sigma
@@ -96,15 +110,16 @@ def wkeans(x: jnp.ndarray, num_clusters: int, dst: str = 'feats',
     return gamma, pi, centroids
 
 
-def _em_jnp(xyz_sg, o, node_xyz0, iters, tau):
+def _em_jnp(xyz_sg, o, node_xyz0, iters, tau, axis_name: str | None = None):
     """Reference jnp composition of the EM loop (HBM round-trip per step)."""
     def body(carry, _):
         node_xyz, _, _ = carry
         cost = jnp.maximum(cdist(xyz_sg, node_xyz), 0.0) / tau
-        gamma = sinkhorn(cost, p=o, q=None, max_iter=10)[0]
+        gamma = sinkhorn(cost, p=o, q=None, max_iter=10,
+                         axis_name=axis_name)[0]
         gamma = jnp.nan_to_num(gamma, nan=0.0)
         gamma = gamma / jnp.maximum(gamma.sum(axis=-1, keepdims=True), 1e-3)
-        pi, node_xyz = gmm_params(gamma, xyz_sg)
+        pi, node_xyz = gmm_params(gamma, xyz_sg, axis_name=axis_name)
         return (node_xyz, gamma, pi), None
 
     B, N, _ = xyz_sg.shape
@@ -119,7 +134,9 @@ def _em_jnp(xyz_sg, o, node_xyz0, iters, tau):
 def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
                 n_clusters: int, iters: int = 10, tau: float = 1.0,
                 use_pallas: bool | None = None,
-                init_ids: jnp.ndarray | None = None):
+                init_ids: jnp.ndarray | None = None,
+                init_nodes: jnp.ndarray | None = None,
+                axis_name: str | None = None):
     """Overlap-weighted Sinkhorn-EM clustering (the OGMM core).
 
     E-step: Sinkhorn on cdist(xyz, nodes)/tau with row marginal p = normalised
@@ -133,18 +150,35 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
     the portable fallback and the numerical reference.
 
     `init_ids` overrides the centre-seeded FPS initialisation (callers that
-    already ran a combined FPS pass, ops/fps.py:fps_combined).
+    already ran a combined FPS pass, ops/fps.py:fps_combined); `init_nodes`
+    supplies the initial cluster centres DIRECTLY — point-sharded forwards
+    (parallel/sp.py) must use it, because local row gathers cannot reach the
+    full cloud. With `axis_name` set, xyz/feats/o_scores carry this shard's
+    rows: the overlap normalisation, every EM moment, and the Sinkhorn
+    column update psum across shards, gamma returns the local rows, and
+    pi/node_xyz/node_feats come back replicated.
 
     Returns (gamma (B,N,K), pi (B,K), node_xyz (B,K,3), node_feats (B,K,C)).
     """
-    ids = (init_ids if init_ids is not None
-           else farthest_point_sample(xyz, n_clusters, is_center=True))
-    node_xyz0 = index_points(xyz, ids)
+    if axis_name is not None and init_nodes is None:
+        raise ValueError("wkeans_plus(axis_name=...) needs init_nodes: FPS "
+                         "initialisation cannot run on a point shard")
+    if init_nodes is not None:
+        node_xyz0 = init_nodes
+    else:
+        ids = (init_ids if init_ids is not None
+               else farthest_point_sample(xyz, n_clusters, is_center=True))
+        node_xyz0 = index_points(xyz, ids)
     o = jax.lax.stop_gradient(o_scores)
-    o = o / jnp.maximum(o.sum(axis=-1, keepdims=True), 1e-4)
+    osum = o.sum(axis=-1, keepdims=True)
+    if axis_name is not None:
+        osum = jax.lax.psum(osum, axis_name)
+    o = o / jnp.maximum(osum, 1e-4)
     xyz_sg = jax.lax.stop_gradient(xyz)
     node_xyz0 = jax.lax.stop_gradient(node_xyz0)
 
+    if axis_name is not None:
+        use_pallas = False     # the fused EM kernel is whole-cloud-resident
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
         # VMEM bound, measured on chip (r3): the kernel keeps ~5 (N, K)
@@ -161,23 +195,34 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
         gamma, pi, node_xyz = sinkhorn_em(xyz_sg, o, node_xyz0,
                                           iters=iters, sk_iters=10, tau=tau)
     else:
-        gamma, pi, node_xyz = _em_jnp(xyz_sg, o, node_xyz0, iters, tau)
+        gamma, pi, node_xyz = _em_jnp(xyz_sg, o, node_xyz0, iters, tau,
+                                      axis_name=axis_name)
     gamma = jax.lax.stop_gradient(gamma)
     pi = jax.lax.stop_gradient(pi)
     node_xyz = jax.lax.stop_gradient(node_xyz)
-    node_feats = gmm_params(gamma, feats)[1]   # grads flow through feats only
+    # grads flow through feats only
+    node_feats = gmm_params(gamma, feats, axis_name=axis_name)[1]
     return gamma, pi, node_xyz, node_feats
 
 
 def get_local_corrs(xyz: jnp.ndarray, xyz_mu: jnp.ndarray,
-                    feats: jnp.ndarray) -> jnp.ndarray:
+                    feats: jnp.ndarray,
+                    axis_name: str | None = None) -> jnp.ndarray:
     """Features of the point nearest to each cluster mean.
 
     xyz (B,N,3), xyz_mu (B,J,3), feats (B,N,C) -> (B,J,C).
     Reference: lib/utils.py:244-254. The argmin runs through the single 1-NN
     dispatch point (ops/common.py:nn1 — fused/streamed kernel on TPU, dense
     or chunked jnp elsewhere; argmin over squared == argmin over cdist).
+
+    `axis_name`: xyz/feats are point-sharded rows — the 1-NN combines
+    across shards (ops/common.py:nn1_sp) and the feature gather psums the
+    owning shard's rows; xyz_mu is replicated.
     """
+    if axis_name is not None:
+        from ogmm_tpu.ops.common import index_points_sp, nn1_sp
+        idx = nn1_sp(xyz_mu, xyz, axis_name)[1]  # (B, J) global indices
+        return index_points_sp(feats, idx, axis_name)
     from ogmm_tpu.ops.common import nn1
     idx = nn1(xyz_mu, xyz)[1]                    # (B, J)
     return index_points(feats, idx)

@@ -73,7 +73,8 @@ def _maybe_grid(tgt: jnp.ndarray, threshold: float,
 
 
 @partial(jax.jit, static_argnames=("threshold", "max_iter", "method",
-                                   "use_pallas", "use_grid", "grid_cap"))
+                                   "use_pallas", "use_grid", "grid_cap",
+                                   "axis_name"))
 def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
                        init_pose: jnp.ndarray,
                        threshold: float,
@@ -81,7 +82,8 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
                        method: str = "horn_pi",
                        use_pallas: bool | None = None,
                        use_grid: bool | None = None,
-                       grid_cap: int = 32
+                       grid_cap: int = 32,
+                       axis_name: str | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Refine an initial rigid transform by fixed-iteration point-to-point ICP.
 
@@ -103,6 +105,9 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
         streamed 1-NN beat it ~20x on chip at N=M=35k (see _maybe_grid);
         reach for it only in sparse M>>100k regimes, with an A/B.
       grid_cap: candidate-window size per stencil cell (see grid_nn.py).
+      axis_name: src rows are point-sharded over that mesh axis
+        (parallel/sp.py; tgt stays replicated) — each trip's 1-NN runs on
+        the local rows and the Procrustes moments / inlier counts psum.
 
     Returns: (rot (B,3,3), trans (B,3)) refined transform.
     """
@@ -164,9 +169,13 @@ def icp_point_to_point(src: jnp.ndarray, tgt: jnp.ndarray,
         corr = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)  # (B, N, 3)
         w = (nn_d < thresh_sq).astype(src.dtype)         # inlier gate
         # guard: if no inliers, keep previous transform via weight-all fallback
-        any_in = w.sum(axis=-1) > 0                      # (B,)
+        n_in = w.sum(axis=-1)                            # (B,)
+        if axis_name is not None:
+            n_in = jax.lax.psum(n_in, axis_name)
+        any_in = n_in > 0
         w = jnp.where(any_in[:, None], w, jnp.ones_like(w))
-        rot_new, t_new = rigid_transform(src, corr, w, method=method)
+        rot_new, t_new = rigid_transform(src, corr, w, method=method,
+                                         axis_name=axis_name)
         t_new = t_new[..., 0]
         rot = jnp.where(any_in[:, None, None], rot_new, rot)
         t = jnp.where(any_in[:, None], t_new, t)
@@ -213,7 +222,8 @@ def estimate_normals_knn(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("threshold", "max_iter", "normal_k",
-                                   "use_pallas", "use_grid", "grid_cap"))
+                                   "use_pallas", "use_grid", "grid_cap",
+                                   "axis_name"))
 def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
                        init_pose: jnp.ndarray,
                        threshold: float,
@@ -222,7 +232,8 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
                        normal_k: int = 16,
                        use_pallas: bool | None = None,
                        use_grid: bool | None = None,
-                       grid_cap: int = 32
+                       grid_cap: int = 32,
+                       axis_name: str | None = None
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Point-to-plane ICP (reference lib/o3dutils.py:176-185, the pl=True
     branch of refine_registration) — batched Gauss-Newton, fully on device.
@@ -279,7 +290,10 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
         q = jnp.take_along_axis(tgt, nn_i[..., None], axis=1)       # (B,N,3)
         n = jnp.take_along_axis(tgt_normals, nn_i[..., None], axis=1)
         w = (nn_d < thresh_sq).astype(src.dtype)
-        any_in = w.sum(axis=-1) > 0
+        n_in = w.sum(axis=-1)
+        if axis_name is not None:
+            n_in = jax.lax.psum(n_in, axis_name)
+        any_in = n_in > 0
         w = jnp.where(any_in[:, None], w, jnp.ones_like(w))
 
         # rows A = [moved × n, n] (B, N, 6); residual b = -n·(moved - q)
@@ -291,6 +305,8 @@ def icp_point_to_plane(src: jnp.ndarray, tgt: jnp.ndarray,
                        precision=jax.lax.Precision.HIGHEST)         # (B,6,6)
         g = jnp.einsum('bni,bn->bi', aw, b,
                        precision=jax.lax.Precision.HIGHEST)         # (B,6)
+        if axis_name is not None:
+            H, g = jax.lax.psum((H, g), axis_name)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
         x = jnp.linalg.solve(H, g[..., None])[..., 0]               # (B,6)
         dR = _rodrigues(x[:, :3])

@@ -26,20 +26,41 @@ def log_boltzmann_kernel(cost, u, v, epsilon):
     return (-cost + u[..., :, None] + v[..., None, :]) / epsilon
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+def _lse_rows_sharded(K: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """logsumexp over the ROW axis (-2) of a row-sharded (B, n_local, M)
+    matrix: stable two-pass with a pmax shift and a psum of the exp sums —
+    identical (up to summation order) to logsumexp over the global rows."""
+    m = jax.lax.pmax(jnp.max(K, axis=-2), axis_name)         # (B, M)
+    s = jax.lax.psum(jnp.sum(jnp.exp(K - m[..., None, :]), axis=-2),
+                     axis_name)
+    return jnp.log(s) + m
+
+
+@partial(jax.jit, static_argnames=("max_iter", "axis_name"))
 def sinkhorn(cost: jnp.ndarray,
              p: jnp.ndarray | None = None,
              q: jnp.ndarray | None = None,
              epsilon: float = 1e-2,
-             max_iter: int = 10) -> tuple[jnp.ndarray, jnp.ndarray]:
+             max_iter: int = 10,
+             axis_name: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Entropic OT transport plan between marginals p (B,N) and q (B,M).
 
     Returns (gamma (B,N,M), mean OT loss scalar), matching the reference's
     return contract (lib/utils.py:104-108). `thresh` early exit is replaced by
     the fixed `max_iter` (see module docstring).
+
+    `axis_name`: the ROW (N) axis is sharded over that mesh axis
+    (parallel/sp.py) — cost/p carry this shard's rows, q is replicated, and
+    the column update's row-logsumexp runs as a pmax/psum pair. The caller
+    must pass an explicit p (a local 1/N default cannot know the global N).
+    Returned gamma holds the local rows; the loss is the global value.
     """
     B, N, M = cost.shape
     if p is None:
+        if axis_name is not None:
+            raise ValueError("sinkhorn(axis_name=...) needs an explicit row "
+                             "marginal p — the uniform default cannot know "
+                             "the global row count")
         p = jnp.full((B, N), 1.0 / N, dtype=cost.dtype)
     if q is None:
         q = jnp.full((B, M), 1.0 / M, dtype=cost.dtype)
@@ -51,15 +72,19 @@ def sinkhorn(cost: jnp.ndarray,
         K = log_boltzmann_kernel(cost, u, v, epsilon)
         u = epsilon * (log_p - jax.nn.logsumexp(K, axis=-1)) + u
         Kt = log_boltzmann_kernel(cost, u, v, epsilon)
-        v = epsilon * (log_q - jax.nn.logsumexp(Kt, axis=-2)) + v
+        lse_rows = (jax.nn.logsumexp(Kt, axis=-2) if axis_name is None
+                    else _lse_rows_sharded(Kt, axis_name))
+        v = epsilon * (log_q - lse_rows) + v
         return (u, v), None
 
     u0 = jnp.zeros_like(p)
     v0 = jnp.zeros_like(q)
     (u, v), _ = jax.lax.scan(body, (u0, v0), None, length=max_iter)
     gamma = jnp.exp(log_boltzmann_kernel(cost, u, v, epsilon))
-    loss = jnp.sum(gamma * cost, axis=(-2, -1)).mean()
-    return gamma, loss
+    loss = jnp.sum(gamma * cost, axis=(-2, -1))
+    if axis_name is not None:
+        loss = jax.lax.psum(loss, axis_name)
+    return gamma, loss.mean()
 
 
 def contrastsk(x, y, p=None, epsilon=1e-3, max_iter=30, dst='eu'):
