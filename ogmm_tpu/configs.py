@@ -109,6 +109,17 @@ class TrainConfig:
     # as a train epoch; long accuracy runs set k=5-10.
     eval_every: int = 1
     model_path: str = "checkpoints"
+    # Compute the GT overlap labels ON DEVICE inside the jitted train/eval
+    # steps (losses.py:overlap_labels_device — identical definition to the
+    # host KD-tree labels) instead of in the dataset. At the indoor point
+    # (N=35k) the host labels cost more wall time per sample than the whole
+    # device step on a 1-core host; the 7scene/icl factory skips its host
+    # label pass when this is set. The reference realdata quirk
+    # (tgt_overlap = src_overlap, realdata.py:127) is preserved.
+    device_overlap: bool = False
+    # radius for device_overlap labels — matches each dataset's host value
+    # (Scene7 0.05, IclNuim 0.075; train.py sets it with --device_overlap)
+    overlap_thresh: float = 0.05
     # TPU execution
     mesh_shape: Tuple[int, ...] = (-1,)   # 1-D data-parallel mesh; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("dp",)

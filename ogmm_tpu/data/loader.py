@@ -181,12 +181,18 @@ def data_loader(cfg):
             ModelNetDV(d.root, partition='test', unseen=d.unseen))
         serialize_test = True
     elif name == "7scene":
-        train_data = Scene7(d.root, d.n_points, list(d.partial), 'train')
-        test_data = Scene7(d.root, d.n_points, list(d.partial), 'test')
+        co = not t.device_overlap       # labels recomputed in the jitted step
+        train_data = Scene7(d.root, d.n_points, list(d.partial), 'train',
+                            compute_overlap=co)
+        test_data = Scene7(d.root, d.n_points, list(d.partial), 'test',
+                           compute_overlap=co)
         serialize_test = False
     elif name == "icl_nuim":
-        train_data = IclNuim(d.root, d.n_points, list(d.partial), 'train')
-        test_data = IclNuim(d.root, d.n_points, list(d.partial), 'test')
+        co = not t.device_overlap
+        train_data = IclNuim(d.root, d.n_points, list(d.partial), 'train',
+                             compute_overlap=co)
+        test_data = IclNuim(d.root, d.n_points, list(d.partial), 'test',
+                            compute_overlap=co)
         serialize_test = True
     else:
         raise ValueError(f"unknown dataset {name!r}")

@@ -41,7 +41,8 @@ class Scene7:
 
     def __init__(self, root: str, n_points: int = 50000,
                  partial: List[float] = (0.7, 0.7), partition: str = 'test',
-                 fix_tgt_overlap: bool = False):
+                 fix_tgt_overlap: bool = False,
+                 compute_overlap: bool = True):
         if partition == "test":
             classes = ["7-scenes-office"]
         else:
@@ -61,6 +62,10 @@ class Scene7:
         self.n_points = n_points
         self.partial = list(partial)
         self.fix_tgt_overlap = fix_tgt_overlap
+        # compute_overlap=False: emit zero placeholders — the trainer
+        # recomputes the same labels on device (TrainConfig.device_overlap;
+        # the host KD-tree pass dominates per-sample wall time at N=35k)
+        self.compute_overlap = compute_overlap
 
     def __len__(self):
         return len(self.samples)
@@ -82,9 +87,13 @@ class Scene7:
             src = farthest_point_sample(src, n_sub)
         if tgt.shape[0] != n_sub:
             tgt = farthest_point_sample(tgt, n_sub)
-        src_overlap, tgt_overlap = overlap_labels(src, tgt, tsfm)
-        if not self.fix_tgt_overlap:
-            tgt_overlap = src_overlap       # reference realdata.py:127
+        if self.compute_overlap:
+            src_overlap, tgt_overlap = overlap_labels(src, tgt, tsfm)
+            if not self.fix_tgt_overlap:
+                tgt_overlap = src_overlap   # reference realdata.py:127
+        else:
+            src_overlap = np.zeros(src.shape[0])
+            tgt_overlap = np.zeros(tgt.shape[0])
         return {
             'src_xyz': src.astype('float32'),
             'tgt_xyz': tgt.astype('float32'),
@@ -104,7 +113,8 @@ class IclNuim:
 
     def __init__(self, root: str, n_points: int = 50000,
                  partial: List[float] = (0.7, 0.7), partition: str = 'test',
-                 fix_tgt_overlap: bool = False):
+                 fix_tgt_overlap: bool = False,
+                 compute_overlap: bool = True):
         import h5py
         d_path = os.path.join(root, 'icl_nuim', partition, 'icl_nuim.h5')
         with h5py.File(d_path, 'r') as f:
@@ -123,6 +133,7 @@ class IclNuim:
         self.partial = list(partial)
         self.partition = partition
         self.fix_tgt_overlap = fix_tgt_overlap
+        self.compute_overlap = compute_overlap   # see Scene7
 
     def __len__(self):
         return self.source.shape[0]
@@ -146,9 +157,14 @@ class IclNuim:
             tgt = farthest_point_sample(tgt, n_sub)
         tsfm = random_pose(self.max_angle, self.max_trans)
         tgt = tgt @ tsfm[:3, :3].T + tsfm[:3, 3]
-        src_overlap, tgt_overlap = overlap_labels(src, tgt, tsfm, thresh=0.075)
-        if not self.fix_tgt_overlap:
-            tgt_overlap = src_overlap       # reference realdata.py:187
+        if self.compute_overlap:
+            src_overlap, tgt_overlap = overlap_labels(src, tgt, tsfm,
+                                                      thresh=0.075)
+            if not self.fix_tgt_overlap:
+                tgt_overlap = src_overlap   # reference realdata.py:187
+        else:
+            src_overlap = np.zeros(src.shape[0])
+            tgt_overlap = np.zeros(tgt.shape[0])
         return {
             'src_xyz': src.astype('float32'),
             'tgt_xyz': tgt.astype('float32'),

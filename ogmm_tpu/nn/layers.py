@@ -56,12 +56,14 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5,
         mean = x32.mean(axis=-2, keepdims=True)
         var = x32.var(axis=-2, keepdims=True)
     else:
+        # Two-pass (mean first, then centred sum of squares): exact parity
+        # with the unsharded jnp.var path even for large-mean activations —
+        # the single-pass E[x^2]-E[x]^2 form cancels catastrophically there.
         n = jnp.asarray(x.shape[-2], jnp.float32)
-        s, sq, n = jax.lax.psum(
-            (x32.sum(axis=-2, keepdims=True),
-             (x32 * x32).sum(axis=-2, keepdims=True), n), axis_name)
+        s, n = jax.lax.psum((x32.sum(axis=-2, keepdims=True), n), axis_name)
         mean = s / n
-        var = jnp.maximum(sq / n - mean * mean, 0.0)
+        d = x32 - mean
+        var = jax.lax.psum((d * d).sum(axis=-2, keepdims=True), axis_name) / n
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 

@@ -143,6 +143,13 @@ def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
             # may differ from top_k — consumers max over k)
             from ogmm_tpu.ops.pallas_stream import knn_self_spatial
             return knn_self_spatial(src, k)
+        if src.shape[-1] == 3 and tgt.shape[-1] == 3:
+            # large cross-shaped xyz query (the point-sharded self graph:
+            # local rows x full replicated cloud) — Morton-sort both sides
+            # against a joint box and cull with rank-stretched diagonal
+            # visiting (same exact-set contract as knn_self_spatial)
+            from ogmm_tpu.ops.pallas_stream import knn_cross_spatial
+            return knn_cross_spatial(src, tgt, k)
         from ogmm_tpu.ops.pallas_stream import knn_stream
         return knn_stream(src, tgt, k)
     if not normalize and B * N * M > _DENSE_ELEMS:

@@ -163,6 +163,11 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
     if axis_name is not None and init_nodes is None:
         raise ValueError("wkeans_plus(axis_name=...) needs init_nodes: FPS "
                          "initialisation cannot run on a point shard")
+    if axis_name is not None and use_pallas:
+        raise ValueError(
+            "wkeans_plus: use_pallas=True is incompatible with axis_name — "
+            "the fused EM kernel is whole-cloud-resident and cannot psum "
+            "across point shards")
     if init_nodes is not None:
         node_xyz0 = init_nodes
     else:
@@ -178,7 +183,7 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
     node_xyz0 = jax.lax.stop_gradient(node_xyz0)
 
     if axis_name is not None:
-        use_pallas = False     # the fused EM kernel is whole-cloud-resident
+        use_pallas = False     # guarded above: an explicit True raises
     if use_pallas is None:
         from ogmm_tpu.ops.dispatch import use_pallas as _auto
         # VMEM bound, measured on chip (r3): the kernel keeps ~5 (N, K)

@@ -95,6 +95,15 @@ def make_sp_eval(variables, cfg: Config, mesh: Mesh, axis: str = "sp",
                 f"point count {src.shape[1]} must divide by the mesh size "
                 f"{n_dev} (pad the clouds — the data pipeline's fixed "
                 f"n_points crop already guarantees static shapes)")
+        if tgt.shape[1] != src.shape[1]:
+            # fail HERE with full shapes — inside shard_map the model's
+            # N==M overlap-head assert would fire with confusing
+            # shard-local sizes
+            raise ValueError(
+                f"sp eval needs src and tgt with the same point count "
+                f"(the stacked eval path and the N==M overlap head "
+                f"require it); got src N={src.shape[1]}, "
+                f"tgt N={tgt.shape[1]}")
         return smapped(src, tgt, src, tgt)
 
     return fn

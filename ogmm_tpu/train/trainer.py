@@ -71,6 +71,13 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         state, key = state.next_rng()
         src, tgt = batch['src_xyz'], batch['tgt_xyz']
         rot_gt, trans_gt = _gt_rt(batch)
+        if t.device_overlap:
+            from ogmm_tpu.losses import overlap_labels_device
+            so, _ = overlap_labels_device(src, tgt, rot_gt, trans_gt,
+                                          thresh=t.overlap_thresh)
+            # tgt_overlap = src_overlap: the realdata quirk (reference
+            # realdata.py:127/187) the host labels also carry
+            batch = {**batch, 'src_overlap': so, 'tgt_overlap': so}
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -127,6 +134,11 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
     def step(state: TrainState, batch):
         src, tgt = batch['src_xyz'], batch['tgt_xyz']
         rot_gt, trans_gt = _gt_rt(batch)
+        if t.device_overlap:
+            from ogmm_tpu.losses import overlap_labels_device
+            so, _ = overlap_labels_device(src, tgt, rot_gt, trans_gt,
+                                          thresh=t.overlap_thresh)
+            batch = {**batch, 'src_overlap': so, 'tgt_overlap': so}
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             src, tgt, train=False, is_test=is_test)

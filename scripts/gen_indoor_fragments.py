@@ -41,8 +41,31 @@ def _cylinder(rs, center, radius, height, n):
                      center[2] + z], axis=1)
 
 
+def _sphere(rs, center, radius, n):
+    v = rs.randn(n, 3)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    return np.asarray(center)[None] + radius * v
+
+
+def _yaw(deg_rs):
+    th = deg_rs
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
 def make_room(seed: int, n_points: int = N_POINTS) -> np.ndarray:
-    """One random room: floor, 2-3 walls, 3-7 boxes, 0-2 cylinders."""
+    """One random room: floor, 2-3 walls, yaw-rotated boxes, tilted panels,
+    cylinders, spheres and dense small-object clutter.
+
+    The r3 generator's rooms were fully axis-aligned (walls AND furniture):
+    every box corner looked like every other box corner to a geometric
+    feature extractor, and plane interiors carry no signal at all — the
+    r3d run plateaued at r_mae ~53 deg (VERDICT r3 missing #1). This
+    version breaks the symmetry the way real rooms do: furniture at random
+    yaw, tilted panels (nothing guarantees two rooms share ANY face
+    normal), and 10-25 small clutter objects whose distinctive local
+    neighbourhoods give the DGCNN/attention features unambiguous landmarks.
+    """
     rs = np.random.RandomState(seed)
     lx, ly = rs.uniform(2.5, 4.5, 2)
     h = rs.uniform(2.0, 2.6)
@@ -54,6 +77,17 @@ def make_room(seed: int, n_points: int = N_POINTS) -> np.ndarray:
                       np.asarray(u, np.float64),
                       np.asarray(v, np.float64), area))
 
+    def add_box(o, sx, sy, sz, yaw):
+        """5 faces of a box footprint-rotated by yaw about its origin."""
+        R = _yaw(yaw)
+        ex, ey, ez = R @ [sx, 0, 0], R @ [0, sy, 0], [0, 0, sz]
+        o = np.asarray(o, np.float64)
+        add(o + ez, ex, ey)                                   # top
+        add(o, ex, ez)                                        # 4 sides
+        add(o, ey, ez)
+        add(o + ey, ex, ez)
+        add(o + ex, ey, ez)
+
     add([0, 0, 0], [lx, 0, 0], [0, ly, 0])                     # floor
     walls = [([0, 0, 0], [lx, 0, 0], [0, 0, h]),
              ([0, 0, 0], [0, ly, 0], [0, 0, h]),
@@ -62,16 +96,23 @@ def make_room(seed: int, n_points: int = N_POINTS) -> np.ndarray:
     for w in [walls[i] for i in rs.permutation(4)[:rs.randint(2, 4)]]:
         add(*w)
 
-    for _ in range(rs.randint(3, 8)):                           # boxes
+    tops = []    # (x, y, z) candidate support heights for clutter
+    for _ in range(rs.randint(3, 8)):                           # furniture
         sx, sy = rs.uniform(0.3, 1.2, 2)
         sz = rs.uniform(0.3, 1.0)
         ox, oy = rs.uniform(0.2, lx - 1.4), rs.uniform(0.2, ly - 1.4)
-        o = [ox, oy, 0.0]
-        add([o[0], o[1], sz], [sx, 0, 0], [0, sy, 0])           # top
-        add(o, [sx, 0, 0], [0, 0, sz])                          # 4 sides
-        add(o, [0, sy, 0], [0, 0, sz])
-        add([o[0], o[1] + sy, 0], [sx, 0, 0], [0, 0, sz])
-        add([o[0] + sx, o[1], 0], [0, sy, 0], [0, 0, sz])
+        add_box([ox, oy, 0.0], sx, sy, sz, rs.uniform(0, np.pi))
+        tops.append((ox + sx / 2, oy + sy / 2, sz))
+
+    for _ in range(rs.randint(1, 4)):                           # tilted panels
+        # leaning rectangles (sofa backs, propped boards): random normal
+        c = [rs.uniform(0.3, lx - 0.3), rs.uniform(0.3, ly - 0.3),
+             rs.uniform(0.0, 0.8)]
+        R = _yaw(rs.uniform(0, np.pi))
+        tilt = rs.uniform(0.15, 0.5)
+        u = R @ [rs.uniform(0.4, 1.0), 0, 0]
+        v = R @ [0, np.cos(tilt), np.sin(tilt)] * rs.uniform(0.4, 1.0)
+        add(c, u, v)
 
     areas = np.array([f[3] for f in faces])
     cyl_pts = []
@@ -80,13 +121,29 @@ def make_room(seed: int, n_points: int = N_POINTS) -> np.ndarray:
         cyl_pts.append((rs.uniform(0.1, 0.35), rs.uniform(0.4, 1.2), c))
     cyl_area = sum(2 * np.pi * r * hh for r, hh, _ in cyl_pts)
 
-    total = areas.sum() + cyl_area
+    sph_pts = []                                                # clutter
+    for _ in range(rs.randint(10, 26)):
+        r = rs.uniform(0.04, 0.15)
+        if tops and rs.rand() < 0.5:
+            cx, cy, cz = tops[rs.randint(len(tops))]
+            c = [cx + rs.uniform(-0.2, 0.2), cy + rs.uniform(-0.2, 0.2),
+                 cz + r]
+        else:
+            c = [rs.uniform(0.2, lx - 0.2), rs.uniform(0.2, ly - 0.2), r]
+        sph_pts.append((r, c))
+    sph_area = sum(4 * np.pi * r * r for r, _ in sph_pts)
+
+    total = areas.sum() + cyl_area + sph_area
     counts = np.maximum(1, (areas / total * n_points)).astype(int)
     parts = [_quad(rs, o, u, v, c) for (o, u, v, _), c in zip(faces, counts)]
     for r, hh, c in cyl_pts:
         parts.append(_cylinder(rs, c, r, hh,
                                max(1, int(2 * np.pi * r * hh / total
                                           * n_points))))
+    for r, c in sph_pts:
+        parts.append(_sphere(rs, c, r,
+                             max(8, int(4 * np.pi * r * r / total
+                                        * n_points))))
     pts = np.concatenate(parts, axis=0)
     # top up / trim to exactly n_points, then recentre and add sensor noise
     if len(pts) < n_points:

@@ -121,3 +121,31 @@ def test_composite_loss_finite_and_grad(rng):
     loss, grad = jax.value_and_grad(f)(jnp.asarray(R))
     assert np.isfinite(float(loss))
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_overlap_labels_device_matches_host(rng):
+    """Device labels (losses.overlap_labels_device) must reproduce the host
+    KD-tree labels (data/datautils.overlap_labels) bit-for-bit away from the
+    radius boundary — same definition, d2 <= thresh^2."""
+    import jax.numpy as jnp
+    from ogmm_tpu.data.datautils import overlap_labels, random_pose
+    from ogmm_tpu.losses import overlap_labels_device
+
+    B, N = 3, 400
+    src = rng.randn(B, N, 3).astype(np.float32) * 0.3
+    tsfms = np.stack([random_pose(np.pi / 4, 0.5) for _ in range(B)])
+    # partial overlap: transformed src + an offset cluster in tgt
+    tgt = np.concatenate([
+        (src[:, :N // 2] @ tsfms[:, :3, :3].transpose(0, 2, 1)
+         + tsfms[:, None, :3, 3]
+         + 0.03 * rng.randn(B, N // 2, 3).astype(np.float32)),
+        src[:, N // 2:] + 5.0], axis=1).astype(np.float32)
+
+    host_s, host_t = zip(*(overlap_labels(src[b], tgt[b], tsfms[b],
+                                          thresh=0.05) for b in range(B)))
+    dev_s, dev_t = overlap_labels_device(
+        jnp.asarray(src), jnp.asarray(tgt),
+        jnp.asarray(tsfms[:, :3, :3]), jnp.asarray(tsfms[:, :3, 3]),
+        thresh=0.05)
+    np.testing.assert_array_equal(np.stack(host_s), np.asarray(dev_s))
+    np.testing.assert_array_equal(np.stack(host_t), np.asarray(dev_t))

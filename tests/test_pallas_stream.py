@@ -539,3 +539,68 @@ def test_knn_self_spatial_dyn_select_same_result(rng):
     b = knn_self_spatial(x, 10, tile_n=64, tile_m=64, interpret=True,
                          dyn_select=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_knn_cross_spatial_same_neighbour_sets(rng):
+    """The sp self-graph shape: a random SUBSET of a surface-like cloud
+    queries the full cloud (local rank ~ global rank / stretch). Exact
+    neighbour distance sets vs the dense reference; rows come back in the
+    query's original order, ids in the target's original order."""
+    from ogmm_tpu.ops.pallas_stream import knn_cross_spatial
+
+    u = rng.rand(2, 320, 2).astype(np.float32)
+    z = (np.sin(3 * u[..., :1]) * np.cos(2 * u[..., 1:])).astype(np.float32)
+    t = np.concatenate([u, 0.3 * z], axis=-1)
+    rows = np.sort(rng.choice(320, size=80, replace=False))    # shard-like
+    q = jnp.asarray(t[:, rows])
+    t = jnp.asarray(t)
+
+    ref = knn(q, t, 10, use_pallas=False)
+    out = knn_cross_spatial(q, t, 10, tile_n=32, tile_m=64, interpret=True)
+
+    pts = np.asarray(t)
+    qts = np.asarray(q)
+    for b in range(2):
+        d_ref = np.linalg.norm(pts[b][np.asarray(ref)[b]] - qts[b][:, None],
+                               axis=-1)
+        d_out = np.linalg.norm(pts[b][np.asarray(out)[b]] - qts[b][:, None],
+                               axis=-1)
+        np.testing.assert_allclose(d_out, d_ref, rtol=1e-5, atol=1e-6)
+    # each query point is a target point: nearest neighbour is itself
+    np.testing.assert_array_equal(np.asarray(out)[..., 0],
+                                  rows[None].repeat(2, 0))
+
+
+def test_knn_cross_spatial_cull_exact_on_separated_clusters(rng):
+    """Heavy-cull exactness for the cross flavour: separated clusters so
+    most tile-pair bounds are positive, plus an exact duplicate pair
+    (query point dupes a far-indexed target point)."""
+    from ogmm_tpu.ops.pallas_stream import knn_cross_spatial
+
+    centers = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]],
+                       np.float32)
+    t = (centers[:, None] +
+         0.02 * rng.randn(4, 90, 3).astype(np.float32)).reshape(1, 360, 3)
+    q = t[:, rng.choice(360, size=90, replace=False)].copy()
+    q[0, 7] = t[0, 359]               # exact duplicate in a far tile
+    qj, tj = jnp.asarray(q), jnp.asarray(t)
+
+    ref = knn(qj, tj, 8, use_pallas=False)
+    out = knn_cross_spatial(qj, tj, 8, tile_n=32, tile_m=64, interpret=True)
+
+    d_ref = np.linalg.norm(t[0][np.asarray(ref)[0]] - q[0][:, None], axis=-1)
+    d_out = np.linalg.norm(t[0][np.asarray(out)[0]] - q[0][:, None], axis=-1)
+    np.testing.assert_allclose(d_out, d_ref, rtol=1e-3, atol=5e-5)
+    assert d_out[7, 0] == 0.0         # the duplicate found its twin
+
+
+def test_knn_stream_diag_stretch_is_result_invariant(rng):
+    """diag_stretch only reorders tile visits — results must be
+    bit-identical across stretch values (incl. the merge's tie handling)."""
+    src, tgt = _clouds(rng)
+    ref = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True,
+                     diag_order=True)
+    for s in (2, 5):
+        out = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True,
+                         diag_order=True, diag_stretch=s)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

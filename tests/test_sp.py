@@ -158,6 +158,49 @@ def test_instance_norm_sp(rng):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
 
 
+def test_instance_norm_sp_large_n_large_mean(rng):
+    """Indoor-regime moments: N=35k rows with a large common-mode offset.
+
+    The sharded path computes var two-pass (psum mean, then psum the
+    centred sum of squares) precisely so large-mean activations do not
+    cancel catastrophically — pin the parity at realistic magnitudes."""
+    from jax.sharding import PartitionSpec as P
+    from ogmm_tpu.nn.layers import instance_norm
+    mesh = sp_mesh(8)
+    x = (rng.randn(1, 35000, 8).astype(np.float32)
+         + 100.0 * np.abs(rng.randn(1, 1, 8)).astype(np.float32))
+    x = jnp.asarray(x[:, :34992])           # divisible by 8
+    ref = instance_norm(x)
+    out = _smap(lambda v: instance_norm(v, axis_name="sp"), mesh,
+                (P(None, "sp"),), P(None, "sp"))(x)
+    # two-pass sharded: 3e-5 measured (mean-summation order only); the
+    # single-pass E[x^2]-E[x]^2 form is 0.8% WRONG on variance here —
+    # this atol is what the test pins against regressing to it
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+
+
+def test_wkeans_forced_pallas_with_axis_name_raises(rng):
+    """An explicit use_pallas=True must not be silently overridden by the
+    sharded path (repo convention — DGCNN's fused/sync-BN guard)."""
+    from ogmm_tpu.ops.gmm import wkeans_plus
+    xyz = jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(1, 32, 8).astype(np.float32))
+    o = jnp.asarray(np.abs(rng.rand(1, 32)).astype(np.float32))
+    nodes = xyz[:, :4]
+    with pytest.raises(ValueError, match="use_pallas"):
+        wkeans_plus(xyz, feats, o, 4, use_pallas=True, init_nodes=nodes,
+                    axis_name="sp")
+
+
+def test_sp_rejects_mismatched_tgt_points(rng):
+    cfg = _tiny_cfg()
+    src, _ = _pair(rng, B=1, N=256)
+    _, tgt = _pair(rng, B=1, N=128)
+    _, variables = _init(cfg, *_pair(rng, B=1, N=256))
+    with pytest.raises(ValueError, match="same point count"):
+        make_sp_eval(variables, cfg, sp_mesh(8))(src, tgt)
+
+
 def test_sinkhorn_sharded_rows(rng):
     from jax.sharding import PartitionSpec as P
     from ogmm_tpu.ops.sinkhorn import sinkhorn

@@ -61,6 +61,11 @@ def parse_args(argv=None):
                    help='capture a jax.profiler trace of epoch-0 steps 5-10')
     p.add_argument('--multihost', action='store_true',
                    help='initialise jax.distributed (multi-host DP over DCN)')
+    p.add_argument('--device_overlap', action='store_true',
+                   help='compute GT overlap labels on device in the jitted '
+                        'step (7scene/icl_nuim: skips the host KD-tree '
+                        'pass, which dominates per-sample wall time at '
+                        'indoor scale)')
     return p.parse_args(argv)
 
 
@@ -87,6 +92,12 @@ def build_config(args):
         v = getattr(args, k)
         if v is not None:
             train_kw[k] = v
+    if args.device_overlap:
+        train_kw['device_overlap'] = True
+        dataset = data_kw.get('dataset', cfg.data.dataset)
+        # each dataset's host-label radius (realdata.py): 7scene 0.05,
+        # icl_nuim 0.075
+        train_kw['overlap_thresh'] = 0.075 if dataset == 'icl_nuim' else 0.05
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, **model_kw),
         data=dataclasses.replace(cfg.data, **data_kw),
