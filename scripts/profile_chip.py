@@ -21,7 +21,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
-OUT = os.path.join(REPO, "profiles", "r2")
+OUT = (sys.argv[1] if len(sys.argv) > 1
+       else os.path.join(REPO, "profiles", "r2"))
 
 
 def main():
