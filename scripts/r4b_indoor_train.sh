@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-4b chip session: the indoor ACCURACY campaign (VERDICT r3 next #2).
+# The r3d run proved the loop (60 epochs, 120 axis-aligned fragments) but
+# not the model: eval r_mae 52.8 deg, peaked at epoch 9 of 60. Three levers
+# change here, each aimed at a diagnosed cause:
+#
+#   * data realism+size: the r4 fragment generator (yaw-rotated furniture,
+#     tilted panels, spheres, dense clutter) kills the corner/wall feature
+#     ambiguity of axis-aligned rooms; 240 train fragments (2x r3d) and a
+#     32-fragment test split (8 was too small to rank checkpoints — the
+#     "epoch-9 best" could be eval noise).
+#   * steps: 200 epochs x 60 steps = 12k steps (r3d stopped at 1.8k, loss
+#     still falling 14.1 -> 10.1).
+#   * LR: 5e-4, the linear-scaling rule for B=4 vs the reference's B=8 at
+#     1e-3 (reference configs/cfgs.py:115-116) — the early eval peak then
+#     decay in r3d is a too-hot-LR signature. Milestones stay the
+#     reference's [75, 150, 200] (train.py:202).
+#
+# batch_size 4 (single-chip HBM point, see r3d_indoor_train.sh), bf16 body,
+# --device_overlap (labels on device; host KD-tree pass was the per-sample
+# wall-time pole). After training: em-trip sweep vs the new checkpoint
+# (VERDICT r3 next #7 — serve() dial re-validation per artifact).
+#
+# One chip job at a time; log to $1 (default /tmp/r4b_train.log).
+set -x
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/r4b_train.log}
+{
+  echo "=== r4b indoor campaign $(date) ==="
+  [ -d /tmp/indoor_data_r4b/7scene/7-scenes-office ] || \
+    python scripts/gen_indoor_fragments.py /tmp/indoor_data_r4b 40 32
+
+  timeout 19000 python train.py --preset indoor --dataset 7scene \
+    --root /tmp/indoor_data_r4b --batch_size 4 --epochs 200 --eval_every 5 \
+    --dtype bfloat16 --lr 5e-4 --device_overlap \
+    --model_path /tmp/ckpt_indoor_r4 \
+    --export_weights artifacts/gmmreg_indoor_r4.npz
+  echo "train rc=$?"
+
+  echo "--- serve-dial re-validation vs the indoor artifact (next #7) ---"
+  timeout 3600 python scripts/eval_em_sweep.py /tmp/ckpt_indoor_r4 10 6 4
+
+  echo "=== r4b campaign done $(date) ==="
+} > "$LOG" 2>&1
