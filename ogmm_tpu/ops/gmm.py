@@ -196,9 +196,11 @@ def wkeans_plus(xyz: jnp.ndarray, feats: jnp.ndarray, o_scores: jnp.ndarray,
         use_pallas = (N * max(n_clusters, 128) * 4 * 5 <= 14 * 2 ** 20
                       and _auto())
     if use_pallas:
-        from ogmm_tpu.ops.pallas_em import sinkhorn_em
-        gamma, pi, node_xyz = sinkhorn_em(xyz_sg, o, node_xyz0,
-                                          iters=iters, sk_iters=10, tau=tau)
+        from ogmm_tpu.ops.pallas_em import auto_clouds_per_block, sinkhorn_em
+        B, N, _ = xyz.shape
+        gamma, pi, node_xyz = sinkhorn_em(
+            xyz_sg, o, node_xyz0, iters=iters, sk_iters=10, tau=tau,
+            clouds_per_block=auto_clouds_per_block(B, N, n_clusters))
     else:
         gamma, pi, node_xyz = _em_jnp(xyz_sg, o, node_xyz0, iters, tau,
                                       axis_name=axis_name)

@@ -48,6 +48,31 @@ def test_fused_em_unaligned_shapes(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_em_multicloud_matches_single(rng):
+    """clouds_per_block interleaves C chains per grid step; per-cloud math
+    is op-for-op the C=1 kernel's — results must be exact."""
+    xyz, o, nodes0 = _inputs(rng, B=8, N=96, K=16)
+    g1, pi1, n1 = sinkhorn_em(xyz, o, nodes0, iters=4, sk_iters=10, tau=1.0,
+                              interpret=True)
+    for C in (2, 4, 8):
+        gC, piC, nC = sinkhorn_em(xyz, o, nodes0, iters=4, sk_iters=10,
+                                  tau=1.0, interpret=True,
+                                  clouds_per_block=C)
+        np.testing.assert_array_equal(np.asarray(gC), np.asarray(g1))
+        np.testing.assert_array_equal(np.asarray(piC), np.asarray(pi1))
+        np.testing.assert_array_equal(np.asarray(nC), np.asarray(n1))
+
+
+def test_fused_em_multicloud_guards(rng):
+    xyz, o, nodes0 = _inputs(rng, B=2, N=32, K=8)
+    import pytest
+    with pytest.raises(ValueError, match="divide"):
+        sinkhorn_em(xyz, o, nodes0, clouds_per_block=3, interpret=True)
+    with pytest.raises(ValueError, match="mxu_lse"):
+        sinkhorn_em(xyz, o, nodes0, clouds_per_block=2, mxu_lse=False,
+                    interpret=True)
+
+
 def test_wkeans_plus_pallas_flag_parity(rng):
     B, N, K, C = 2, 64, 8, 32
     xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
