@@ -39,13 +39,19 @@ class PositionEncoding(nn.Module):
     def __call__(self, points: jnp.ndarray, k: int = 5, train: bool = True,
                  nbr_idx: jnp.ndarray | None = None,
                  centroid: jnp.ndarray | None = None,
-                 nbr_pts: jnp.ndarray | None = None):
+                 nbr_pts: jnp.ndarray | None = None,
+                 alpha: jnp.ndarray | None = None):
         """points (B, N, 3) -> (B, N, dim).
 
         Point-sharded forwards (parallel/sp.py) call this on a device-local
         chunk: `centroid` then carries the FULL cloud's centroid (B, 1, 3)
         and `nbr_pts` the full replicated cloud the global `nbr_idx` gathers
         from; both default to single-device semantics.
+
+        `alpha` (B, N, k) optionally supplies the angle features directly
+        (the fused DGCNN eval kernel emits them from the same neighbour
+        selection — nn/dgcnn.py `with_posenc_alpha`), skipping both angle
+        branches below.
         """
         B, N, _ = points.shape
         if centroid is None:
@@ -61,7 +67,9 @@ class PositionEncoding(nn.Module):
         dis_feature = nn.leaky_relu(BN(self.bn_axis_name, self.dtype)(h, train), 0.2)
 
         from ogmm_tpu.ops.dispatch import use_pallas
-        if nbr_idx is None and use_pallas() and N <= 1024:
+        if alpha is not None:
+            alpha = alpha[..., None]                         # (B, N, k, 1)
+        elif nbr_idx is None and use_pallas() and N <= 1024:
             # fused kNN + gather + normalised-dot (ops/pallas_knn.py);
             # neighbour ORDER may differ from the jnp path only at exact
             # distance ties — the angle features are maxed over k below

@@ -88,8 +88,17 @@ class DGCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
                  nbr_idx: jnp.ndarray | None = None,
-                 nbr_pts: jnp.ndarray | None = None) -> jnp.ndarray:
+                 nbr_pts: jnp.ndarray | None = None,
+                 with_posenc_alpha: int = 0):
         """x: (B, N, 3) points -> (B, N, emb_dims) features.
+
+        `with_posenc_alpha` (static k2 > 0): return (feats, alpha) where
+        alpha (B, N, k2) f32 holds the PositionEncoding angle features for
+        the k2 nearest neighbours — emitted ~free by the fused eval kernel
+        (it already selects and gathers every neighbour; the standalone
+        angle pass was 1.40 ms of the 16.6 ms eval forward, profiles/r4).
+        alpha is None when this call does not take the fused eval kernel —
+        the caller falls back to PositionEncoding's own paths.
 
         `nbr_idx` (B, N, k) optionally supplies the kNN graph (the naive
         path only — the fused kernels build it in-VMEM and only engage at
@@ -123,7 +132,8 @@ class DGCNN(nn.Module):
             affines.append(self._folded_affine('bn5', self.emb_dims))
             dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
             return dgcnn_eval_pallas(x, ws + [w5], affines, k=self.k,
-                                     dtype=dt)
+                                     dtype=dt,
+                                     posenc_k=with_posenc_alpha)
 
         fused_train = self.fused_train
         if fused_train is None:
@@ -162,7 +172,7 @@ class DGCNN(nn.Module):
             for (ra_mean, ra_var), (mean, var) in zip(ras, moments):
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
-            return out
+            return (out, None) if with_posenc_alpha else out
 
         idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
         e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)
@@ -186,4 +196,5 @@ class DGCNN(nn.Module):
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)   # (B, N, 512)
         z = jnp.einsum('...i,io->...o', cat, w5.astype(cat.dtype),
                        preferred_element_type=jnp.float32).astype(cat.dtype)
-        return nn.relu(self._bn('bn5', z, train))
+        out = nn.relu(self._bn('bn5', z, train))
+        return (out, None) if with_posenc_alpha else out

@@ -248,14 +248,22 @@ class GMMReg(nn.Module):
                     ids = ids * 3
 
             g_both = cloud_graph(both, both_full)
-            feats = dgcnn(both, train, nbr_idx=g_both, nbr_pts=both_full)
+            # when the fused eval DGCNN kernel fires (N <= 1024, TPU,
+            # unsharded) it emits the pos-enc angle features from its own
+            # neighbour selection for free — the standalone angle pass was
+            # 1.40 ms of the 16.6 ms eval forward (profiles/r4/PROFILE.md).
+            # alpha comes back None on every other path and pos_enc falls
+            # through to its usual branches.
+            feats, alpha_both = dgcnn(both, train, nbr_idx=g_both,
+                                      nbr_pts=both_full,
+                                      with_posenc_alpha=cfg.pos_k)
             anchor0 = gather(feats, ids[0])
             t_all = feats + pos_enc(
                 both, cfg.pos_k, train,
                 nbr_idx=None if g_both is None else g_both[..., :cfg.pos_k],
                 centroid=(None if sp is None
                           else both_full.mean(axis=1, keepdims=True)),
-                nbr_pts=both_full)
+                nbr_pts=both_full, alpha=alpha_both)
             t_all = conv1(sattn1(t_all, anchor0) + t_all)
 
             anchor1 = gather(t_all, ids[1])

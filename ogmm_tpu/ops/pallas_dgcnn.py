@@ -43,8 +43,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _dgcnn_kernel(xt_ref, xf_ref,
                   w1_ref, a1_ref, w2_ref, a2_ref, w3_ref, a3_ref,
-                  w4_ref, a4_ref, w5_ref, a5_ref, out_ref, *,
-                  k: int, dtype):
+                  w4_ref, a4_ref, w5_ref, a5_ref, out_ref, *rest,
+                  k: int, dtype, posenc_k: int = 0):
     q = xt_ref[0]                          # (TN, 3) f32 query tile
     t = xf_ref[0]                          # (N, 3) f32 full cloud
     TN = q.shape[0]
@@ -82,8 +82,29 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     # f32 dot_general feeds the MXU bf16 operands and rounds the gathered
     # coordinates (ADVICE r2); bf16 mode is exact at default precision
     gather_prec = _HI if dt == jnp.float32 else None
+
+    # posenc_k > 0: also emit the PositionEncoding angle features for the
+    # first posenc_k trips — this kernel already selects and gathers each
+    # neighbour, so cos(angle(p->nbr_j, p->centroid)) is ~free here, and
+    # the standalone posenc_angles_pallas pass (1.40 ms of the 16.6 ms
+    # eval forward, profiles/r4/PROFILE.md) drops out of the model. Same
+    # selection (identical d2 construction, argmin tie rule, inf-masking)
+    # => identical neighbour prefix (reference models/attn.py:59-75 angle
+    # semantics). In bf16 mode the gathered coords are bf16-rounded where
+    # the standalone kernel gathers f32 — alpha differs at ~1e-3, inside
+    # the bf16 noise of the Dense layer it feeds (tests pin f32 near-exact
+    # and bf16 tolerance parity vs posenc_angles_pallas).
+    if posenc_k:
+        alpha_ref = rest[0]
+        cen = jnp.sum(t, axis=0, keepdims=True) / N          # (1, 3) f32
+        p2gc = q - cen
+        g_hat = p2gc / jnp.maximum(
+            jnp.sqrt(jnp.sum(p2gc * p2gc, axis=-1, keepdims=True)), 1e-12)
+        colk = jax.lax.broadcasted_iota(jnp.int32, (TN, posenc_k), 1)
+        alpha = jnp.zeros((TN, posenc_k), jnp.float32)
+
     edges = []
-    for _ in range(k):
+    for j in range(k):
         am = jnp.argmin(d2, axis=1).astype(jnp.int32)        # (TN,)
         hit = col == am[:, None]                             # (TN, N)
         onehot = hit.astype(dt)
@@ -91,7 +112,23 @@ def _dgcnn_kernel(xt_ref, xf_ref,
                                   precision=gather_prec,
                                   preferred_element_type=jnp.float32)
         edges.append(jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1))
+        if posenc_k and j < posenc_k:
+            p2lc = nbr - q                                   # (TN, 3) f32
+            l_hat = p2lc / jnp.maximum(
+                jnp.sqrt(jnp.sum(p2lc * p2lc, axis=-1, keepdims=True)),
+                1e-12)
+            a_j = jnp.sum(l_hat * g_hat, axis=-1)            # (TN,)
+            # coincident neighbour (always the self point at j=0): the f32
+            # path's p2lc is exactly 0 there -> alpha 0; the bf16 gather's
+            # rounded coords leave a tiny garbage direction instead. d2 is
+            # exact f32 and was clamped at 1e-12, so gate on it.
+            dmin = jnp.min(d2, axis=1)                       # (TN,)
+            a_j = jnp.where(dmin <= 1e-12, 0.0, a_j)
+            alpha = jnp.where(colk == j, a_j[:, None], alpha)
         d2 = jnp.where(hit, jnp.inf, d2)
+
+    if posenc_k:
+        alpha_ref[0] = alpha
 
     e = jnp.concatenate(edges, axis=0)                       # (k*TN, 6)
 
@@ -117,10 +154,10 @@ def _dgcnn_kernel(xt_ref, xf_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "dtype",
-                                             "interpret"))
+                                             "interpret", "posenc_k"))
 def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
                       tile_n: int | None = None, dtype=jnp.bfloat16,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False, posenc_k: int = 0):
     """Fused eval DGCNN: x (B,N,3) -> (B,N,512) in `dtype`.
 
     weights: 5 kernels [(6,64),(64,64),(64,128),(128,256),(512,512)] fp32.
@@ -131,12 +168,20 @@ def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
     (k*tile_n, 256) at its widest, so VMEM holds the whole stage chain with
     room for the (tile_n, N) f32 distance block. Caller must keep
     N <= ~1024 either way.
+
+    posenc_k > 0: additionally return the PositionEncoding angle features
+    (B, N, posenc_k) f32 for the posenc_k nearest neighbours (the kernel's
+    selection prefix) — see _dgcnn_kernel. Return becomes (out, alpha).
     """
     B, N, _ = x.shape
+    if posenc_k > k:
+        raise ValueError(f"posenc_k={posenc_k} must be <= k={k} (the angle "
+                         f"features are the selection prefix)")
     tile_n = min(tile_n or 128, N)
     grid = (B, pl.cdiv(N, tile_n))
     emb = weights[4].shape[1]
-    kern = functools.partial(_dgcnn_kernel, k=k, dtype=dtype)
+    kern = functools.partial(_dgcnn_kernel, k=k, dtype=dtype,
+                             posenc_k=posenc_k)
 
     def full(arr):   # whole-array operand, same block for every program
         nd = arr.ndim
@@ -151,6 +196,16 @@ def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
         ops.extend([ws, a])
         specs.extend([full(ws), full(a)])
 
+    out_specs = pl.BlockSpec((1, tile_n, emb), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, N, emb), dtype)
+    if posenc_k:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, tile_n, posenc_k),
+                                  lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, N, posenc_k), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -158,8 +213,7 @@ def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, N, 3), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM)] + specs,
-        out_specs=pl.BlockSpec((1, tile_n, emb), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, emb), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x.astype(jnp.float32), x.astype(jnp.float32), *ops)

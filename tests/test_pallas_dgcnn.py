@@ -96,3 +96,39 @@ def test_naive_train_grads_flow(rng):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_fused_posenc_alpha_matches_angle_kernel(rng):
+    """The alpha emitted by the fused DGCNN kernel must match the
+    standalone posenc_angles_pallas (same selection, same angle math)."""
+    import functools
+    import ogmm_tpu.ops.pallas_dgcnn as pd
+    from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
+
+    # bf16 atol: the fused kernel gathers bf16-rounded neighbour coords
+    # where the standalone kernel gathers f32 — worst observed deviation
+    # 0.027 on a near-tie neighbour, inside the noise of the bf16 Dense
+    # the feature feeds (f32 mode is near-exact)
+    for dtype, atol in ((None, 1e-5), ("bfloat16", 4e-2)):
+        x, model, v = _model_pair(rng, dtype=dtype)
+        fused = DGCNN(emb_dims=model.emb_dims, k=model.k, dtype=dtype,
+                      fused=True)
+        orig = pd.dgcnn_eval_pallas
+        try:
+            pd.dgcnn_eval_pallas = functools.partial(orig, interpret=True)
+            out, alpha = fused.apply(v, x, train=False, with_posenc_alpha=5)
+        finally:
+            pd.dgcnn_eval_pallas = orig
+        ref = posenc_angles_pallas(x, 5, interpret=True)
+        assert alpha.shape == ref.shape and alpha.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref),
+                                   rtol=1e-3, atol=atol,
+                                   err_msg=f"dtype={dtype}")
+
+
+def test_with_posenc_alpha_none_on_naive_path(rng):
+    x, model, v = _model_pair(rng)
+    out, alpha = model.apply(v, x, train=False, with_posenc_alpha=5)
+    assert alpha is None
+    ref = model.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
