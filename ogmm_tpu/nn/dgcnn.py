@@ -166,13 +166,14 @@ class DGCNN(nn.Module):
                                   lambda C=C: jnp.zeros((C,), jnp.float32)),
                     self.variable('batch_stats', f'bn{i+1}_var',
                                   lambda C=C: jnp.ones((C,), jnp.float32))))
-            out, moments = dgcnn_train_fused(
+            out, moments, alpha = dgcnn_train_fused(
                 x, ws + [w5], gammas, betas, k=self.k,
-                dtype=self.dtype or 'float32')
+                dtype=self.dtype or 'float32',
+                posenc_k=with_posenc_alpha)
             for (ra_mean, ra_var), (mean, var) in zip(ras, moments):
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
-            return (out, None) if with_posenc_alpha else out
+            return (out, alpha) if with_posenc_alpha else out
 
         idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
         e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)

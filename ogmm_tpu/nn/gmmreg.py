@@ -339,17 +339,26 @@ class GMMReg(nn.Module):
 
             # --- stage 0: features + position encoding --------------------
             g_src, g_tgt = cloud_graph(src), cloud_graph(tgt)
-            src_feats = dgcnn(src, train, nbr_idx=g_src)       # (B, N, D)
-            tgt_feats = dgcnn(tgt, train, nbr_idx=g_tgt)
+            pk = cfg.pos_k
+            # the fused DGCNN kernels (eval AND the train custom-VJP path)
+            # emit the pos-enc angle features from their own neighbour
+            # selection — the standalone angle pass was ~1.4 ms of both
+            # the eval forward and the train step (profiles/r4). alpha is
+            # None on the naive/CPU paths and pos_enc falls through.
+            src_feats, a_src = dgcnn(src, train, nbr_idx=g_src,
+                                     with_posenc_alpha=pk)    # (B, N, D)
+            tgt_feats, a_tgt = dgcnn(tgt, train, nbr_idx=g_tgt,
+                                     with_posenc_alpha=pk)
             src_anchor0 = index_points(src_feats, src_ids[0])  # (B, km, D)
             tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
-            pk = cfg.pos_k
             src_t = src_feats + pos_enc(
                 src, pk, train,
-                nbr_idx=None if g_src is None else g_src[..., :pk])
+                nbr_idx=None if g_src is None else g_src[..., :pk],
+                alpha=a_src)
             tgt_t = tgt_feats + pos_enc(
                 tgt, pk, train,
-                nbr_idx=None if g_tgt is None else g_tgt[..., :pk])
+                nbr_idx=None if g_tgt is None else g_tgt[..., :pk],
+                alpha=a_tgt)
 
             # --- stage 1: anchor-conditioned self-attention ----------------
             src_t = conv1(sattn1(src_t, src_anchor0) + src_t)

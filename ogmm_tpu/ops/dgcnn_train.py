@@ -75,23 +75,39 @@ def _bn_apply(z, mean, var, gamma, beta):
     return (z - mean.astype(dt)) * (inv * gamma).astype(dt) + beta.astype(dt)
 
 
-def _graph_stage1(x, w1, k: int, dt):
+def _graph_stage1(x, w1, k: int, dt, posenc_k: int = 0):
     """kNN graph + edge features + stage-1 matmul.
 
-    Returns (z1 (B,k,N,C1) dt pre-BN, e (B,k,N,6) dt, idx (B,N,k) i32).
+    Returns (z1 (B,k,N,C1) dt pre-BN, e (B,k,N,6) dt, idx (B,N,k) i32,
+    alpha). alpha is the PositionEncoding angle features (B, N, posenc_k)
+    f32 when posenc_k > 0 (the kernel emits them from its own selection,
+    ops/pallas_dgcnn_train.py:_stage1_kernel; the jnp fallback mirrors
+    PositionEncoding's gather formula from idx), else None.
     Dispatches to the fused Pallas kernel on TPU; jnp fallback is the
     reference composition (knn + gather + einsum).
     """
     from ogmm_tpu.ops.dispatch import use_pallas
     if use_pallas() and x.shape[1] <= 1024:
         from ogmm_tpu.ops.pallas_dgcnn_train import graph_stage1_pallas
-        return graph_stage1_pallas(x, w1, k=k, dtype=dt)
+        out = graph_stage1_pallas(x, w1, k=k, dtype=dt, posenc_k=posenc_k)
+        return out if posenc_k else (*out, None)
     idx = knn(x, x, k)
     e = graph_feature(x, k, idx=idx).astype(dt)          # (B, N, k, 6)
     e = jnp.swapaxes(e, 1, 2)                            # (B, k, N, 6)
     z1 = jnp.einsum('bkni,io->bkno', e, w1.astype(dt),
                     preferred_element_type=jnp.float32).astype(dt)
-    return z1, e, idx
+    alpha = None
+    if posenc_k:
+        # PositionEncoding's jnp angle formula (nn/attention.py), from the
+        # graph's ascending-distance prefix
+        from ogmm_tpu.ops.common import gather_neighbors, l2_normalize
+        x32 = x.astype(jnp.float32)
+        p2gc = x32 - x32.mean(axis=1, keepdims=True)
+        p2lc = gather_neighbors(x32, idx[..., :posenc_k]) \
+            - x32[:, :, None, :]
+        alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
+                           l2_normalize(p2gc))
+    return z1, e, idx, alpha
 
 
 def _moments(z):
@@ -140,15 +156,17 @@ def _max_vjp(dtap, h):
     return dtap[:, None, :, :] * mask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _dgcnn_train(x, ws, gammas, betas, k: int, dtype):
-    out, moments, _ = _fwd(x, ws, gammas, betas, k, dtype)
-    return out, moments
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _dgcnn_train(x, ws, gammas, betas, k: int, dtype, posenc_k: int = 0):
+    out, moments, alpha, _ = _fwd(x, ws, gammas, betas, k, dtype, posenc_k)
+    return out, moments, alpha
 
 
-def _fwd(x, ws, gammas, betas, k: int, dtype):
+def _fwd(x, ws, gammas, betas, k: int, dtype, posenc_k: int = 0):
     dt = jnp.dtype(dtype)
-    z, e, idx = _graph_stage1(x, ws[0], k, dt)           # (B, k, N, 64)
+    # alpha is a pure function of x (which carries no gradient in the
+    # trainer); the custom bwd ignores its cotangent
+    z, e, idx, alpha = _graph_stage1(x, ws[0], k, dt, posenc_k=posenc_k)
 
     zs, taps, moments = [], [], []
     for i in range(4):
@@ -169,16 +187,18 @@ def _fwd(x, ws, gammas, betas, k: int, dtype):
     moments.append((mean5, var5))
     res = (x, idx, e, tuple(zs), z5, tuple(taps), tuple(ws), tuple(gammas),
            tuple(betas), tuple(moments))
-    return out, tuple(moments), res
+    return out, tuple(moments), alpha, res
 
 
-def _fwd_vjp(x, ws, gammas, betas, k: int, dtype):
-    out, moments, res = _fwd(x, ws, gammas, betas, k, dtype)
-    return (out, moments), res
+def _fwd_vjp(x, ws, gammas, betas, k: int, dtype, posenc_k: int = 0):
+    out, moments, alpha, res = _fwd(x, ws, gammas, betas, k, dtype, posenc_k)
+    return (out, moments, alpha), res
 
 
-def _bwd_vjp(k: int, dtype, res, cts):
-    dout, _ = cts    # moments feed running-stat updates only: no gradient
+def _bwd_vjp(k: int, dtype, posenc_k: int, res, cts):
+    dout, _, _ = cts   # moments feed running-stat updates only: no
+    #                    gradient; alpha is a function of x only (no grad
+    #                    path to params, and x's grad is discarded)
     (x, idx, e, zs, z5, taps, ws, gammas, betas, moments) = res
     dt = jnp.dtype(dtype)
     dout = dout.astype(dt)
@@ -278,7 +298,7 @@ _dgcnn_train.defvjp(_fwd_vjp, _bwd_vjp)
 def dgcnn_train_fused(x: jnp.ndarray, ws: Sequence[jnp.ndarray],
                       gammas: Sequence[jnp.ndarray],
                       betas: Sequence[jnp.ndarray],
-                      k: int = 20, dtype=jnp.bfloat16):
+                      k: int = 20, dtype=jnp.bfloat16, posenc_k: int = 0):
     """Fused differentiable DGCNN training forward.
 
     Args:
@@ -286,10 +306,14 @@ def dgcnn_train_fused(x: jnp.ndarray, ws: Sequence[jnp.ndarray],
       ws: 5 stage kernels [(6,64),(64,64),(64,128),(128,256),(512,emb)].
       gammas/betas: 5 BN scale/bias vectors (fp32).
       k: neighbours; dtype: compute dtype for the conv stack.
+      posenc_k: > 0 also returns the PositionEncoding angle features
+        (B, N, posenc_k) f32 from the graph kernel's own selection
+        (no gradient — a pure function of x).
 
     Returns (features (B, N, emb) in `dtype`,
              moments: 5 (batch_mean, batch_var) fp32 pairs for the caller's
-             running-stat update — identical values to the naive path's).
+             running-stat update — identical values to the naive path's,
+             alpha (or None)).
     """
     return _dgcnn_train(x, tuple(ws), tuple(gammas), tuple(betas), k,
-                        jnp.dtype(dtype).name)
+                        jnp.dtype(dtype).name, posenc_k)

@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _stage1_kernel(xt_ref, xf_ref, w1_ref, z_ref, e_ref, idx_ref, *,
-                   k: int, dtype):
+def _stage1_kernel(xt_ref, xf_ref, w1_ref, z_ref, e_ref, idx_ref, *rest,
+                   k: int, dtype, posenc_k: int = 0):
     q = xt_ref[0]                          # (TN, 3) f32 query tile
     t = xf_ref[0]                          # (N, 3) f32 full cloud
     TN = q.shape[0]
@@ -48,6 +48,20 @@ def _stage1_kernel(xt_ref, xf_ref, w1_ref, z_ref, e_ref, idx_ref, *,
     dt = dtype
     w1 = w1_ref[:].astype(dt)              # (6, C1)
     idxs = jnp.zeros((TN, k), jnp.int32)
+
+    # posenc_k > 0: emit the PositionEncoding angle features for the first
+    # posenc_k trips (same rationale as the eval kernel,
+    # ops/pallas_dgcnn.py:_dgcnn_kernel — the standalone angle pass was
+    # 1.4 ms of the train step). The gather here is f32 HIGHEST, so the
+    # coincident self point gives p2lc exactly 0 -> alpha 0 with no gate.
+    if posenc_k:
+        alpha_ref = rest[0]
+        cen = jnp.sum(t, axis=0, keepdims=True) / N          # (1, 3) f32
+        p2gc = q - cen
+        g_hat = p2gc / jnp.maximum(
+            jnp.sqrt(jnp.sum(p2gc * p2gc, axis=-1, keepdims=True)), 1e-12)
+        colp = jax.lax.broadcasted_iota(jnp.int32, (TN, posenc_k), 1)
+        alpha = jnp.zeros((TN, posenc_k), jnp.float32)
 
     # NB: unlike the eval kernel, the gather stays f32 HIGHEST — a bf16
     # one-hot gather (bf16-rounded t before the subtract) perturbs the edge
@@ -69,9 +83,18 @@ def _stage1_kernel(xt_ref, xf_ref, w1_ref, z_ref, e_ref, idx_ref, *,
         z_ref[0, j] = z_j.astype(dt)
         e_ref[0, j] = e_j
         idxs = jnp.where(colk == j, am[:, None], idxs)
+        if posenc_k and j < posenc_k:
+            p2lc = nbr - q                                   # (TN, 3) f32
+            l_hat = p2lc / jnp.maximum(
+                jnp.sqrt(jnp.sum(p2lc * p2lc, axis=-1, keepdims=True)),
+                1e-12)
+            a_j = jnp.sum(l_hat * g_hat, axis=-1)            # (TN,)
+            alpha = jnp.where(colp == j, a_j[:, None], alpha)
         d2 = jnp.where(hit, jnp.inf, d2)
 
     idx_ref[0] = idxs
+    if posenc_k:
+        alpha_ref[0] = alpha
 
 
 def _row_mask(tile_n: int, n_valid: int):
@@ -419,23 +442,46 @@ def bwd_edge_pallas(z1, dtap1, mean1, var1, gamma1, beta1, s12,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "dtype",
-                                             "interpret"))
+                                             "interpret", "posenc_k"))
 def graph_stage1_pallas(x: jnp.ndarray, w1: jnp.ndarray, k: int = 20,
                         tile_n: int = 128, dtype=jnp.bfloat16,
-                        interpret: bool = False):
+                        interpret: bool = False, posenc_k: int = 0):
     """Fused kNN graph + edge features + stage-1 matmul (training forward).
 
     x: (B, N, 3) fp32; w1: (6, C1) fp32.
     Returns (z1 (B,k,N,C1) `dtype` pre-BN, e (B,k,N,6) `dtype`,
-             idx (B,N,k) int32).
+             idx (B,N,k) int32). With posenc_k > 0, also the
+    PositionEncoding angle features alpha (B, N, posenc_k) f32 for the
+    selection prefix (see _stage1_kernel) — return becomes
+    (z1, e, idx, alpha).
     """
     B, N, _ = x.shape
+    if posenc_k > k:
+        raise ValueError(f"posenc_k={posenc_k} must be <= k={k}")
     C1 = w1.shape[1]
     dt = jnp.dtype(dtype)
     tile_n = min(tile_n, N)
     grid = (B, pl.cdiv(N, tile_n))
-    kern = functools.partial(_stage1_kernel, k=k, dtype=dt)
-    z, e, idx = pl.pallas_call(
+    kern = functools.partial(_stage1_kernel, k=k, dtype=dt,
+                             posenc_k=posenc_k)
+    out_specs = [pl.BlockSpec((1, k, tile_n, C1),
+                              lambda b, i: (b, 0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, k, tile_n, 6),
+                              lambda b, i: (b, 0, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, k, N, C1), dt),
+                 jax.ShapeDtypeStruct((B, k, N, 6), dt),
+                 jax.ShapeDtypeStruct((B, N, k), jnp.int32)]
+    if posenc_k:
+        out_specs.append(pl.BlockSpec((1, tile_n, posenc_k),
+                                      lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, posenc_k),
+                                              jnp.float32))
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec((1, tile_n, 3), lambda b, i: (b, i, 0),
@@ -444,17 +490,8 @@ def graph_stage1_pallas(x: jnp.ndarray, w1: jnp.ndarray, k: int = 20,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(w1.shape, lambda b, i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, k, tile_n, C1),
-                                lambda b, i: (b, 0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, k, tile_n, 6),
-                                lambda b, i: (b, 0, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tile_n, k), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((B, k, N, C1), dt),
-                   jax.ShapeDtypeStruct((B, k, N, 6), dt),
-                   jax.ShapeDtypeStruct((B, N, k), jnp.int32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(x.astype(jnp.float32), x.astype(jnp.float32), w1.astype(jnp.float32))
-    return z, e, idx
+    return out

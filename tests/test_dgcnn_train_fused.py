@@ -50,7 +50,8 @@ def _naive_loss(model, variables, x, wvec):
 def _fused_loss(dtype):
     def f(params, x, wvec):
         ws, gs, bs = _unpack(params)
-        out, moments = dgcnn_train_fused(x, ws, gs, bs, k=K, dtype=dtype)
+        out, moments, _ = dgcnn_train_fused(x, ws, gs, bs, k=K,
+                                           dtype=dtype)
         return (out.astype(jnp.float32) * wvec).sum(), moments
     return f
 
@@ -189,3 +190,49 @@ def test_pallas_backward_matches_jnp_fp32(monkeypatch):
 
 def test_pallas_backward_matches_jnp_bf16(monkeypatch):
     _pallas_vs_jnp(monkeypatch, 'bfloat16', rtol=0.05, atol=0.02)
+
+
+def test_fused_train_posenc_alpha_matches_jnp_formula():
+    """posenc_k>0: the alpha returned by dgcnn_train_fused (jnp fallback on
+    CPU; the Pallas stage-1 kernel's on TPU — interpreter-pinned below)
+    must match PositionEncoding's gather formula on a fresh k=5 graph."""
+    import jax
+    from ogmm_tpu.ops.common import gather_neighbors, knn, l2_normalize
+
+    rng = np.random.RandomState(5)
+    x, model, variables = _setup(rng, dtype=None)
+    ws, gs, bs = _unpack(variables['params'])
+    out, moments, alpha = dgcnn_train_fused(x, ws, gs, bs, k=K,
+                                            dtype='float32', posenc_k=5)
+    idx = knn(x, x, 5)
+    x32 = x.astype(jnp.float32)
+    p2gc = x32 - x32.mean(axis=1, keepdims=True)
+    p2lc = gather_neighbors(x32, idx) - x32[:, :, None, :]
+    ref = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc), l2_normalize(p2gc))
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # grads still flow identically with the extra (grad-free) output
+    def loss(params, x):
+        ws, gs, bs = _unpack(params)
+        out, _, a = dgcnn_train_fused(x, ws, gs, bs, k=K, dtype='float32',
+                                      posenc_k=5)
+        return out.astype(jnp.float32).sum() + 0.0 * a.sum()
+    g = jax.grad(loss)(variables['params'], x)
+    assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+
+
+def test_stage1_kernel_posenc_alpha_interpret():
+    """The Pallas stage-1 kernel's alpha (f32 gather) is near-exact vs the
+    standalone angle kernel."""
+    from ogmm_tpu.ops.pallas_dgcnn_train import graph_stage1_pallas
+    from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32) * 0.4)
+    w1 = jnp.asarray(rng.randn(6, 64).astype(np.float32) * 0.1)
+    z, e, idx, alpha = graph_stage1_pallas(x, w1, k=K, dtype=jnp.float32,
+                                           interpret=True, posenc_k=5)
+    ref = posenc_angles_pallas(x, 5, interpret=True)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
