@@ -63,6 +63,28 @@ def test_fused_em_multicloud_matches_single(rng):
         np.testing.assert_array_equal(np.asarray(nC), np.asarray(n1))
 
 
+def test_auto_clouds_per_block_gate():
+    """The C selector must honour the lane-padded VMEM footprint (~10
+    f32 (N, max(K,128)) resident blocks per cloud, 12 MB headroom) and
+    the B-divisibility contract."""
+    from ogmm_tpu.ops.pallas_em import auto_clouds_per_block
+
+    # bench shape: per-cloud 720*128*4*10 = 3.69 MB -> C=4 would cross
+    # the 12 MB band (14.7 MB), C=2 fits.
+    assert auto_clouds_per_block(48, 717, 128) == 2
+    # small clouds: C=4 fits comfortably.
+    assert auto_clouds_per_block(8, 96, 16) == 4
+    # B not divisible by 4 falls to 2, odd B to 1 — never pad/split.
+    assert auto_clouds_per_block(6, 96, 16) == 2
+    assert auto_clouds_per_block(5, 96, 16) == 1
+    # big-N: even C=2 exceeds the band (2 * 10.5 MB) -> single-cloud.
+    assert auto_clouds_per_block(4, 2048, 128) == 1
+    # K below the 128-lane pad must cost the same as K=128 (the r3
+    # lane-padding lesson): same verdicts as K=128 at these shapes.
+    assert auto_clouds_per_block(48, 717, 16) == 2
+    assert auto_clouds_per_block(4, 2048, 16) == 1
+
+
 def test_fused_em_multicloud_guards(rng):
     xyz, o, nodes0 = _inputs(rng, B=2, N=32, K=8)
     import pytest
