@@ -340,6 +340,12 @@ class GMMReg(nn.Module):
             # --- stage 0: features + position encoding --------------------
             g_src, g_tgt = cloud_graph(src), cloud_graph(tgt)
             pk = cfg.pos_k
+            if pk <= 0:
+                # DGCNN returns a bare array for with_posenc_alpha=0; the
+                # tuple unpack below would then silently iterate the batch
+                # axis (ADVICE r4). The reference has no pos_k=0 mode either
+                # (models/attn.py:59-75 always builds the angle branch).
+                raise ValueError(f"cfg.pos_k must be > 0, got {pk}")
             # the fused DGCNN kernels (eval AND the train custom-VJP path)
             # emit the pos-enc angle features from their own neighbour
             # selection — the standalone angle pass was ~1.4 ms of both

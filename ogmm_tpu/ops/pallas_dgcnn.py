@@ -90,10 +90,14 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     # eval forward, profiles/r4/PROFILE.md) drops out of the model. Same
     # selection (identical d2 construction, argmin tie rule, inf-masking)
     # => identical neighbour prefix (reference models/attn.py:59-75 angle
-    # semantics). In bf16 mode the gathered coords are bf16-rounded where
-    # the standalone kernel gathers f32 — alpha differs at ~1e-3, inside
-    # the bf16 noise of the Dense layer it feeds (tests pin f32 near-exact
-    # and bf16 tolerance parity vs posenc_angles_pallas).
+    # semantics). The angle math ALWAYS reads f32-exact coordinates: in
+    # bf16 mode the edge gather rounds t to bf16, and p2lc = nbr - q then
+    # cancels catastrophically for near neighbours (r4 chip gate: max
+    # alpha err 1.0 with bf16 coords — nearest-neighbour offsets are far
+    # smaller than the coordinates carrying them, so bf16's ~3-digit
+    # mantissa destroys the direction). The prefix trips therefore run one
+    # extra f32 HIGHEST one-hot gather each (posenc_k skinny matmuls per
+    # tile), matching posenc_angles_pallas bit-for-bit in the gather.
     if posenc_k:
         alpha_ref = rest[0]
         cen = jnp.sum(t, axis=0, keepdims=True) / N          # (1, 3) f32
@@ -113,17 +117,19 @@ def _dgcnn_kernel(xt_ref, xf_ref,
                                   preferred_element_type=jnp.float32)
         edges.append(jnp.concatenate([nbr.astype(dt) - qc, qc], axis=-1))
         if posenc_k and j < posenc_k:
-            p2lc = nbr - q                                   # (TN, 3) f32
+            if dt == jnp.float32:
+                nbr32 = nbr        # the edge gather was already f32 HIGHEST
+            else:
+                nbr32 = jax.lax.dot_general(
+                    hit.astype(jnp.float32), t, (((1,), (0,)), ((), ())),
+                    precision=_HI, preferred_element_type=jnp.float32)
+            p2lc = nbr32 - q                                 # (TN, 3) f32
+            # coincident neighbour (the self point at j=0): p2lc is exactly
+            # 0 -> l_hat 0 -> alpha 0, same as posenc_angles_pallas.
             l_hat = p2lc / jnp.maximum(
                 jnp.sqrt(jnp.sum(p2lc * p2lc, axis=-1, keepdims=True)),
                 1e-12)
             a_j = jnp.sum(l_hat * g_hat, axis=-1)            # (TN,)
-            # coincident neighbour (always the self point at j=0): the f32
-            # path's p2lc is exactly 0 there -> alpha 0; the bf16 gather's
-            # rounded coords leave a tiny garbage direction instead. d2 is
-            # exact f32 and was clamped at 1e-12, so gate on it.
-            dmin = jnp.min(d2, axis=1)                       # (TN,)
-            a_j = jnp.where(dmin <= 1e-12, 0.0, a_j)
             alpha = jnp.where(colk == j, a_j[:, None], alpha)
         d2 = jnp.where(hit, jnp.inf, d2)
 

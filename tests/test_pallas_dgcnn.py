@@ -105,11 +105,10 @@ def test_fused_posenc_alpha_matches_angle_kernel(rng):
     import ogmm_tpu.ops.pallas_dgcnn as pd
     from ogmm_tpu.ops.pallas_knn import posenc_angles_pallas
 
-    # bf16 atol: the fused kernel gathers bf16-rounded neighbour coords
-    # where the standalone kernel gathers f32 — worst observed deviation
-    # 0.027 on a near-tie neighbour, inside the noise of the bf16 Dense
-    # the feature feeds (f32 mode is near-exact)
-    for dtype, atol in ((None, 1e-5), ("bfloat16", 4e-2)):
+    # both dtypes near-exact: the angle prefix always gathers coordinates
+    # f32 HIGHEST (the r4 bf16-coordinate gather failed the on-chip gate at
+    # max err 1.0 — p2lc cancellation; fixed in r5)
+    for dtype, atol in ((None, 1e-5), ("bfloat16", 1e-5)):
         x, model, v = _model_pair(rng, dtype=dtype)
         fused = DGCNN(emb_dims=model.emb_dims, k=model.k, dtype=dtype,
                       fused=True)
