@@ -76,6 +76,11 @@ class DataConfig:
     noise_type: str = "crop"    # clean | jitter | crop
     overlap_radius: float = 0.035
     num_workers: int = 6
+    # Scene7/IclNuim only: use the TRUE target overlap labels instead of the
+    # reference quirk tgt_overlap = src_overlap (realdata.py:127/187). Honoured
+    # by BOTH the host label pass and the trainer's device_overlap recompute
+    # (ADVICE r4: the two paths used to disagree when combined).
+    fix_tgt_overlap: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -143,6 +143,19 @@ class ListAsDict:
         }
 
 
+def _check_overlap_thresh(dataset_cls, t):
+    """device_overlap recomputes the host labels in the jitted step with
+    TrainConfig.overlap_thresh — fail loudly if it disagrees with the
+    dataset's own radius (ADVICE r4: enabling device_overlap
+    programmatically on icl_nuim silently used the 7scene radius)."""
+    if t.device_overlap and t.overlap_thresh != dataset_cls.overlap_thresh:
+        raise ValueError(
+            f"TrainConfig.overlap_thresh={t.overlap_thresh} but "
+            f"{dataset_cls.__name__} computes host labels at "
+            f"{dataset_cls.overlap_thresh}; set overlap_thresh="
+            f"{dataset_cls.overlap_thresh} when device_overlap is on")
+
+
 def data_loader(cfg):
     """Dataset factory — reference datasets/dataloader.py:25-62.
 
@@ -182,16 +195,22 @@ def data_loader(cfg):
         serialize_test = True
     elif name == "7scene":
         co = not t.device_overlap       # labels recomputed in the jitted step
+        _check_overlap_thresh(Scene7, t)
         train_data = Scene7(d.root, d.n_points, list(d.partial), 'train',
+                            fix_tgt_overlap=d.fix_tgt_overlap,
                             compute_overlap=co)
         test_data = Scene7(d.root, d.n_points, list(d.partial), 'test',
+                           fix_tgt_overlap=d.fix_tgt_overlap,
                            compute_overlap=co)
         serialize_test = False
     elif name == "icl_nuim":
         co = not t.device_overlap
+        _check_overlap_thresh(IclNuim, t)
         train_data = IclNuim(d.root, d.n_points, list(d.partial), 'train',
+                             fix_tgt_overlap=d.fix_tgt_overlap,
                              compute_overlap=co)
         test_data = IclNuim(d.root, d.n_points, list(d.partial), 'test',
+                            fix_tgt_overlap=d.fix_tgt_overlap,
                             compute_overlap=co)
         serialize_test = True
     else:

@@ -39,6 +39,12 @@ class Scene7:
     """7-Scenes fragments (reference realdata.py:64-135): office at test,
     the other six scenes at train; crop to partial[0] * n_points via FPS."""
 
+    # host overlap-label radius (reference realdata.py:126); the loader
+    # validates TrainConfig.overlap_thresh against this when the labels are
+    # recomputed on device (ADVICE r4: the pair used to be synced only in
+    # the CLI glue)
+    overlap_thresh = 0.05
+
     def __init__(self, root: str, n_points: int = 50000,
                  partial: List[float] = (0.7, 0.7), partition: str = 'test',
                  fix_tgt_overlap: bool = False,
@@ -110,6 +116,8 @@ class IclNuim:
     """ICL-NUIM depth scans from the DeepGMR-provided h5 (reference
     realdata.py:138-196). Test split ships precomputed source/target/transform;
     train split self-pairs `points`."""
+
+    overlap_thresh = 0.075      # reference realdata.py:186; see Scene7
 
     def __init__(self, root: str, n_points: int = 50000,
                  partial: List[float] = (0.7, 0.7), partition: str = 'test',

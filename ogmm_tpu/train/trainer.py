@@ -73,11 +73,15 @@ def make_train_step(model, tx, cfg: Config, mesh: Optional[Mesh] = None,
         rot_gt, trans_gt = _gt_rt(batch)
         if t.device_overlap:
             from ogmm_tpu.losses import overlap_labels_device
-            so, _ = overlap_labels_device(src, tgt, rot_gt, trans_gt,
-                                          thresh=t.overlap_thresh)
+            so, to = overlap_labels_device(src, tgt, rot_gt, trans_gt,
+                                           thresh=t.overlap_thresh)
             # tgt_overlap = src_overlap: the realdata quirk (reference
-            # realdata.py:127/187) the host labels also carry
-            batch = {**batch, 'src_overlap': so, 'tgt_overlap': so}
+            # realdata.py:127/187) the host labels also carry, unless the
+            # dataset opted into the corrected labels (DataConfig
+            # .fix_tgt_overlap — ADVICE r4: the two paths used to disagree)
+            if not cfg.data.fix_tgt_overlap:
+                to = so
+            batch = {**batch, 'src_overlap': so, 'tgt_overlap': to}
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -136,9 +140,11 @@ def make_eval_step(model, cfg: Config, mesh: Optional[Mesh] = None,
         rot_gt, trans_gt = _gt_rt(batch)
         if t.device_overlap:
             from ogmm_tpu.losses import overlap_labels_device
-            so, _ = overlap_labels_device(src, tgt, rot_gt, trans_gt,
-                                          thresh=t.overlap_thresh)
-            batch = {**batch, 'src_overlap': so, 'tgt_overlap': so}
+            so, to = overlap_labels_device(src, tgt, rot_gt, trans_gt,
+                                           thresh=t.overlap_thresh)
+            if not cfg.data.fix_tgt_overlap:
+                to = so                 # reference quirk, see train step
+            batch = {**batch, 'src_overlap': so, 'tgt_overlap': to}
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             src, tgt, train=False, is_test=is_test)

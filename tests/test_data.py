@@ -231,3 +231,30 @@ def test_variant_category_filter():
         ds = cls("synthetic:64", partition='train', category=cat, **kw)
         assert len(ds) == n_cat, cls.__name__
         assert np.all(ds.label == cat), cls.__name__
+
+
+def test_device_overlap_thresh_validated():
+    """ADVICE r4: enabling TrainConfig.device_overlap programmatically on
+    icl_nuim must not silently compute device labels at the 7scene radius —
+    the factory validates TrainConfig.overlap_thresh against the dataset's
+    own host radius before constructing anything."""
+    import dataclasses
+
+    from ogmm_tpu.data.loader import _check_overlap_thresh
+    from ogmm_tpu.data.realdata import IclNuim, Scene7
+
+    cfg = mnet()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, dataset='icl_nuim'),
+        train=dataclasses.replace(cfg.train, device_overlap=True))
+    assert cfg.train.overlap_thresh == 0.05         # the silent-divergence pair
+    with pytest.raises(ValueError, match="overlap_thresh"):
+        data_loader(cfg)
+
+    # matched radii pass the check (both datasets)
+    _check_overlap_thresh(Scene7, cfg.train)
+    _check_overlap_thresh(
+        IclNuim, dataclasses.replace(cfg.train, overlap_thresh=0.075))
+    # and device_overlap off never triggers it
+    _check_overlap_thresh(
+        IclNuim, dataclasses.replace(cfg.train, device_overlap=False))

@@ -363,3 +363,28 @@ def test_periodic_save_independent_of_eval_cadence(setup):
     tr = Trainer(cfg, model, state, tx, checkpointer=Spy())
     tr.fit([batch], [batch], epochs=4)
     assert calls['periodic'] == [1, 3]      # epochs 2 and 4, eval or not
+
+
+def test_device_overlap_fix_tgt_labels(setup):
+    """ADVICE r4: the device-overlap recompute must honour DataConfig
+    .fix_tgt_overlap (TRUE tgt labels) instead of unconditionally applying
+    the reference tgt_overlap=src_overlap quirk (realdata.py:127/187) the
+    host path already makes optional."""
+    cfg, batch, model, state, tx = setup
+    # partial overlap: push half the target points far away so the true
+    # tgt labels genuinely differ from the src labels
+    b2 = {k: np.array(v) for k, v in batch.items()}
+    b2['tgt_xyz'][:, ::2] += 50.0
+    dev_batch = {k: jnp.asarray(b2[k]) for k in BATCH_KEYS}
+    losses = {}
+    for fix in (False, True):
+        c = cfg.replace(
+            data=dataclasses.replace(cfg.data, fix_tgt_overlap=fix),
+            train=dataclasses.replace(cfg.train, device_overlap=True,
+                                      overlap_thresh=0.05))
+        es = make_eval_step(model, c, mesh=None)
+        losses[fix] = float(np.asarray(es(state, dev_batch)['loss'])[0])
+    assert np.isfinite(losses[False]) and np.isfinite(losses[True])
+    # the quirk substitutes src labels for tgt; the fix uses the true ones —
+    # with an asymmetric pair the overlap-loss term must differ
+    assert losses[False] != losses[True]
