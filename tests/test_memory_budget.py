@@ -83,6 +83,10 @@ def test_train_step_memory_regression():
     from ogmm_tpu.train.trainer import BATCH_KEYS, make_train_step
 
     CPU_PLAN_BASELINE = 126 * GB      # measured 125.1 GB, 2026-08-19
+    HEADROOM = 1.10                   # VERDICT r4 #6: 1.25 let the r3d
+    # class (a 21 GB one-shot stacked intermediate) pass silently at
+    # 146 < 157.5 GB. Static guard: the budget must always trip on it.
+    assert CPU_PLAN_BASELINE * HEADROOM < CPU_PLAN_BASELINE + 21 * GB
 
     B = 4
     cfg = _indoor_cfg(B)
@@ -109,10 +113,11 @@ def test_train_step_memory_regression():
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         state)
     peak = _peak(step.lower(state_abs, batch_abs).compile())
-    assert peak < CPU_PLAN_BASELINE * 1.25, (
-        f"indoor train step CPU-plan peak {peak/GB:.1f} GB grew >25% over "
+    assert peak < CPU_PLAN_BASELINE * HEADROOM, (
+        f"indoor train step CPU-plan peak {peak/GB:.1f} GB grew >10% over "
         f"the {CPU_PLAN_BASELINE/GB:.0f} GB baseline — a new stacked "
-        f"intermediate (r3d class)?")
+        f"intermediate (r3d class)? Re-measure the baseline only if the "
+        f"growth is intended and understood.")
 
 
 def test_sp_forward_fits_hbm():
