@@ -256,9 +256,10 @@ def auto_clouds_per_block(B: int, N: int, K: int) -> int:
     Per-cloud residency ≈ 10 lane-padded (N, max(K,128)) f32 blocks: the
     (N, K) plan/cost/gamma/temps plus the (N, 1) row terms, every one of
     which pads its lane dim to 128 (the r3 lane-padding lesson,
-    ops/gmm.py's EM gate). Chip A/B (RESULTS.md Round-4c): C=2 wins at the
-    bench shape, C=4 compiles but the footprint crosses the scoped-VMEM
-    comfort band at N=720 — the gate keeps ~12 MB headroom."""
+    ops/gmm.py's EM gate). The ~12 MB headroom constant keeps the block
+    inside the 16 MB scoped-VMEM budget; C=2/C=4 are bit-exact vs C=1 on
+    chip (scripts/verify_r4c.py). Perf across C: RESULTS.md Round-5a
+    chip A/B."""
     n_pad = ((N + 7) // 8) * 8
     per_cloud = n_pad * max(K, 128) * 4 * 10
     for c in (4, 2):
