@@ -5,7 +5,11 @@ synthetic eval split at several `em_iters` settings (the Sinkhorn-EM pole is
 before its 10x10 trips — if recall holds at fewer trips, serving can dial
 them down; training/eval parity default stays 10).
 
-Usage: python scripts/eval_em_sweep.py <model_path> [trips...]
+Usage: python scripts/eval_em_sweep.py [--root=<data_root>] <model_path> [trips...]
+
+--root overrides the checkpoint's cfg.data.root (e.g. to sweep against a
+bigger eval split than the campaign's); <model_path> may be an orbax
+tree or a weights-only .npz artifact.
 """
 import os
 import sys
@@ -23,11 +27,20 @@ def main():
     from ogmm_tpu.core.metrics import dcp_metrics, summarize_metrics
     from ogmm_tpu.data import data_loader
 
-    model_path = sys.argv[1]
-    trips = [int(t) for t in sys.argv[2:]] or [10, 6, 4, 2]
+    args = sys.argv[1:]
+    root = None
+    if args and args[0].startswith("--root="):
+        root = args.pop(0).split("=", 1)[1]
+    model_path = args[0]
+    trips = [int(t) for t in args[1:]] or [10, 6, 4, 2]
 
-    base = Registrar.from_checkpoint(model_path)
+    if model_path.endswith(".npz"):
+        base = Registrar.from_weights(model_path)
+    else:
+        base = Registrar.from_checkpoint(model_path)
     cfg = base.cfg
+    if root is not None:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, root=root))
     print("checkpoint cfg:", json.dumps(config_to_dict(cfg)['model']),
           flush=True)
     _, test_loader = data_loader(cfg)
