@@ -49,6 +49,20 @@ class ModelConfig:
     # math/params/stats as the naive composition, hand-scheduled fwd/bwd
     # Pallas kernels. None = DGCNN's auto rule; True/False force it.
     dgcnn_fused_train: bool | None = None
+    # large-N fused DGCNN eval stage chain over the shared pre-gathered
+    # graph (ops/pallas_dgcnn.py:dgcnn_edges_pallas — the indoor regime
+    # where the whole-cloud fused kernel can't fire). None = DGCNN's auto
+    # rule (eval + TPU + N > 1024 + supplied graph); True/False force it.
+    dgcnn_fused_edges: bool | None = None
+    # large-N self-graph in Morton-sorted "v-space" (ops/common.py:
+    # knn_self_vspace): the kNN graph stays in sorted row order, the edge/
+    # angle coordinate gather runs once in that space, and only the final
+    # per-point features are un-sorted — skipping the sorted->original id
+    # remap (14.1 ms of the 124 ms indoor eval forward, profiles/r3
+    # 2026_08_19 trace). None/True = on wherever the shared graph engages
+    # (identical math; off-TPU it degenerates to the original-order path);
+    # False = the round-4 original-order routing (A/B control).
+    dgcnn_vspace: bool | None = None
     # overlap head: stream the (N, M) similarity softmax (flash-style online
     # softmax, ops/pallas_stream.py:wproject_stream) instead of materialising
     # it. None = auto by size (B*N*M > 64Mi elements — the indoor ~35k regime

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ogmm_tpu.nn.layers import BN, PointMLP
-from ogmm_tpu.ops.common import knn, gather_neighbors, l2_normalize
+from ogmm_tpu.ops.common import knn, gather_neighbors, posenc_alpha
 
 
 class PositionEncoding(nn.Module):
@@ -82,9 +82,8 @@ class PositionEncoding(nn.Module):
             # that dominated the indoor profile, profiles/r3)
             idx = nbr_idx if nbr_idx is not None else knn(points, points, k)
             src = nbr_pts if nbr_pts is not None else points
-            p2lc = gather_neighbors(src, idx) - points[:, :, None, :]
-            alpha = jnp.einsum('bnkc,bnc->bnk', l2_normalize(p2lc),
-                               l2_normalize(p2gc))[..., None]  # (B, N, k, 1)
+            alpha = posenc_alpha(points, gather_neighbors(src, idx),
+                                 centroid)[..., None]          # (B, N, k, 1)
         if self.dtype is not None:
             alpha = alpha.astype(self.dtype)
         a = nn.Dense(64, use_bias=False, dtype=self.dtype)(alpha)

@@ -46,6 +46,12 @@ class DGCNN(nn.Module):
                                 # the custom-VJP path of ops/dgcnn_train.py
                                 # (same math/params/stats as naive, grads
                                 # proven in tests/test_dgcnn_train_fused.py)
+    fused_edges: bool | None = None  # None = auto (eval + TPU + large N +
+                                # a supplied graph): run the stage chain as
+                                # the large-N fused kernel over pre-gathered
+                                # neighbour coordinates
+                                # (ops/pallas_dgcnn.py:dgcnn_edges_pallas)
+                                # instead of the jnp composition
 
     def _bn(self, name: str, z: jnp.ndarray, train: bool) -> jnp.ndarray:
         """BatchNorm over all axes but the last (torch BN2d semantics)."""
@@ -89,6 +95,7 @@ class DGCNN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True,
                  nbr_idx: jnp.ndarray | None = None,
                  nbr_pts: jnp.ndarray | None = None,
+                 nbr_xyz: jnp.ndarray | None = None,
                  with_posenc_alpha: int = 0):
         """x: (B, N, 3) points -> (B, N, emb_dims) features.
 
@@ -111,6 +118,15 @@ class DGCNN(nn.Module):
         forward (parallel/sp.py) and nbr_idx holds global indices into it.
         Setting it disables the fused kernels (they are whole-cloud
         single-device designs).
+
+        `nbr_xyz` (B, N, k, 3) supplies PRE-GATHERED neighbour coordinates
+        — the large-N shared-graph path (nn/gmmreg.py) gathers the graph's
+        coordinates once (in whatever row space the graph lives in, see
+        ops/common.py:knn_self_vspace) and feeds DGCNN, the position-
+        encoding angles, and the fused edges kernel from that single
+        gather. Mutually redundant with nbr_idx (nbr_xyz wins); when
+        given, `with_posenc_alpha` is honoured on the naive and
+        fused-edges paths too (alpha from the same f32 prefix).
         """
         init = nn.initializers.lecun_normal()
         dims = [6] + list(_STAGES)
@@ -135,13 +151,50 @@ class DGCNN(nn.Module):
                                      dtype=dt,
                                      posenc_k=with_posenc_alpha)
 
+        fused_edges = self.fused_edges
+        have_graph = nbr_xyz is not None or nbr_idx is not None
+        if fused_edges is None:
+            from ogmm_tpu.ops.dispatch import use_pallas as _auto
+            # auto: the large-N eval regime where the whole-cloud kernel
+            # can't fire and the caller supplied a graph — the jnp stage
+            # chain there round-trips ~2.9 GB of (B, N, k, C) tensors
+            # through HBM per indoor forward
+            fused_edges = ((not train) and x.shape[1] > 1024 and have_graph
+                           and nbr_pts is None and _auto())
+        elif fused_edges and (train or not have_graph or nbr_pts is not None):
+            # an explicit force must not silently take the naive path
+            raise ValueError(
+                "fused_edges=True needs eval mode, a supplied graph "
+                "(nbr_idx or nbr_xyz), and no nbr_pts: the kernel folds BN "
+                "running stats (eval-only, no VJP) and gathers neighbour "
+                "coordinates from x itself")
+        if fused_edges and not self.is_initializing():
+            from ogmm_tpu.ops.common import gather_neighbors, posenc_alpha
+            from ogmm_tpu.ops.pallas_dgcnn import dgcnn_edges_pallas
+            affines = [self._folded_affine(f'bn{i+1}', dims[i + 1])
+                       for i in range(4)]
+            affines.append(self._folded_affine('bn5', self.emb_dims))
+            dt = jnp.dtype(self.dtype) if self.dtype else jnp.float32
+            nbr = (nbr_xyz if nbr_xyz is not None
+                   else gather_neighbors(x.astype(jnp.float32), nbr_idx))
+            out = dgcnn_edges_pallas(x, nbr, ws + [w5], affines, k=self.k,
+                                     dtype=dt)
+            if with_posenc_alpha:
+                # from the same f32 neighbour block — the angle math never
+                # sees rounded coordinates (the r4/r5 alpha lesson)
+                return out, posenc_alpha(x, nbr[:, :, :with_posenc_alpha])
+            return out
+
         fused_train = self.fused_train
         if fused_train is None:
             from ogmm_tpu.ops.dispatch import use_pallas as _auto
             # auto: TPU + fusable N. Measured 52.5 vs 53.3 ms/step naive at
             # the bench shape (graph_stage1 kernel replaces kNN + edge
-            # gather); CPU keeps the naive composition.
-            fused_train = x.shape[1] <= 1024 and _auto() and nbr_pts is None
+            # gather); CPU keeps the naive composition. A pre-gathered
+            # graph (nbr_xyz) keeps the naive path — the fused-train kernel
+            # builds its own in-VMEM graph and would waste the gather.
+            fused_train = (x.shape[1] <= 1024 and _auto()
+                           and nbr_pts is None and nbr_xyz is None)
         elif fused_train and self.bn_axis_name is not None:
             # an explicit force must not silently measure the naive path
             # (ADVICE r2): the fused custom-VJP path computes BN moments
@@ -175,8 +228,16 @@ class DGCNN(nn.Module):
                 ra_var.value = 0.9 * ra_var.value + 0.1 * var
             return (out, alpha) if with_posenc_alpha else out
 
-        idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
-        e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)
+        alpha = None
+        if nbr_xyz is not None:
+            center = jnp.broadcast_to(x[:, :, None, :], nbr_xyz.shape)
+            e = jnp.concatenate([nbr_xyz - center, center], axis=-1)
+            if with_posenc_alpha:
+                from ogmm_tpu.ops.common import posenc_alpha
+                alpha = posenc_alpha(x, nbr_xyz[:, :, :with_posenc_alpha])
+        else:
+            idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
+            e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)
         if self.dtype is not None:
             e = e.astype(self.dtype)                 # halve edge-tensor HBM traffic
 
@@ -198,4 +259,4 @@ class DGCNN(nn.Module):
         z = jnp.einsum('...i,io->...o', cat, w5.astype(cat.dtype),
                        preferred_element_type=jnp.float32).astype(cat.dtype)
         out = nn.relu(self._bn('bn5', z, train))
-        return (out, None) if with_posenc_alpha else out
+        return (out, alpha) if with_posenc_alpha else out

@@ -152,18 +152,66 @@ class GMMReg(nn.Module):
         # the in-VMEM kernels build their own graphs faster than a shared
         # HBM round-trip, so sharing only engages above it.
         share_graph = sp is not None or (N > 1024 and cfg.pos_k <= cfg.gnn_k)
-
-        def cloud_graph(pts, full_pts=None):
-            from ogmm_tpu.ops.common import knn as _knn
-            if not share_graph:
-                return None
-            # sp: local query rows against the full replicated cloud —
-            # global indices out, every downstream gather reads full_pts
-            tgt_pts = full_pts if full_pts is not None else pts
-            return _knn(pts, tgt_pts, cfg.gnn_k)
+        if cfg.pos_k <= 0:
+            # DGCNN returns a bare array for with_posenc_alpha=0; the tuple
+            # unpacks below would then silently iterate the batch axis
+            # (ADVICE r4). The reference has no pos_k=0 mode either
+            # (models/attn.py:59-75 always builds the angle branch).
+            raise ValueError(f"cfg.pos_k must be > 0, got {cfg.pos_k}")
 
         dgcnn = DGCNN(D, cfg.gnn_k, self.bn_axis_name, dt,
-                      fused_train=cfg.dgcnn_fused_train)
+                      fused_train=cfg.dgcnn_fused_train,
+                      fused_edges=cfg.dgcnn_fused_edges)
+
+        def encode(pts, full_pts=None):
+            """DGCNN features + position-encoding angle features for one
+            (possibly stacked) cloud, in ORIGINAL row order.
+
+            Graph-space routing (round 5, profiles/r3 2026_08_19 trace):
+              * no shared graph (N <= 1024): the fused whole-cloud kernels
+                build their own in-VMEM graphs; alpha comes from them on
+                TPU, None elsewhere.
+              * sp: cross-shaped global-id graph against the full
+                replicated cloud (original order; pos_enc re-gathers its
+                k=pos_k prefix itself).
+              * large-N self graph: Morton-sorted v-space
+                (ops/common.py:knn_self_vspace) — the graph stays in
+                sorted row order, ONE coordinate gather feeds both the
+                edge features and the angle features, and only the final
+                (B, N, D) features un-sort. Skips knn_self_spatial's
+                sorted->original id remap (14.1 ms/fwd at N=35k).
+              * cfg.dgcnn_vspace=False: the round-4 original-order routing
+                (A/B control).
+
+            Returns (feats, alpha, g): alpha (B, N, pos_k) f32 or None; g
+            is an original-order graph for pos_enc's own prefix gather,
+            only set when alpha is None and a shared graph exists.
+            """
+            from ogmm_tpu.ops.common import (gather_neighbors,
+                                             knn as _knn,
+                                             knn_self_vspace as _kv)
+            if not share_graph:
+                f, a = dgcnn(pts, train, with_posenc_alpha=cfg.pos_k)
+                return f, a, None
+            if sp is not None:
+                # local query rows against the full replicated cloud —
+                # global indices out, every downstream gather reads full_pts
+                g = _knn(pts, full_pts, cfg.gnn_k)
+                f, a = dgcnn(pts, train, nbr_idx=g, nbr_pts=full_pts,
+                             with_posenc_alpha=cfg.pos_k)
+                return f, a, g
+            if cfg.dgcnn_vspace is False:
+                g = _knn(pts, pts, cfg.gnn_k)
+                f, a = dgcnn(pts, train, nbr_idx=g,
+                             with_posenc_alpha=cfg.pos_k)
+                return f, a, g
+            xs, idx, inv = _kv(pts, cfg.gnn_k)
+            nbr = gather_neighbors(xs, idx)      # the ONE coordinate gather
+            f, a = dgcnn(xs, train, nbr_xyz=nbr, with_posenc_alpha=cfg.pos_k)
+            if inv is not None:
+                f = jnp.take_along_axis(f, inv[..., None], axis=1)
+                a = jnp.take_along_axis(a, inv[..., None], axis=1)
+            return f, a, None
         pos_enc = PositionEncoding(D, self.bn_axis_name, dt)
         _sattn1 = TransformerBlock(D, cfg.num_heads, dt, sp_axis=sp)
         _cattn = TransformerBlock(D, cfg.num_heads, dt, sp_axis=sp)
@@ -247,16 +295,12 @@ class GMMReg(nn.Module):
                 if not cfg.recompute_anchors:
                     ids = ids * 3
 
-            g_both = cloud_graph(both, both_full)
-            # when the fused eval DGCNN kernel fires (N <= 1024, TPU,
-            # unsharded) it emits the pos-enc angle features from its own
-            # neighbour selection for free — the standalone angle pass was
-            # 1.40 ms of the 16.6 ms eval forward (profiles/r4/PROFILE.md).
-            # alpha comes back None on every other path and pos_enc falls
-            # through to its usual branches.
-            feats, alpha_both = dgcnn(both, train, nbr_idx=g_both,
-                                      nbr_pts=both_full,
-                                      with_posenc_alpha=cfg.pos_k)
+            # alpha rides along wherever a fused kernel or the shared
+            # gather produces it (~free — the standalone angle pass was
+            # 1.40 ms of the 16.6 ms eval forward, profiles/r4/PROFILE.md);
+            # when it comes back None pos_enc falls through to its usual
+            # branches (g_both's pos_k prefix, or its own graph).
+            feats, alpha_both, g_both = encode(both, both_full)
             anchor0 = gather(feats, ids[0])
             t_all = feats + pos_enc(
                 both, cfg.pos_k, train,
@@ -338,23 +382,15 @@ class GMMReg(nn.Module):
                 tgt_ids = tgt_ids * 3
 
             # --- stage 0: features + position encoding --------------------
-            g_src, g_tgt = cloud_graph(src), cloud_graph(tgt)
-            pk = cfg.pos_k
-            if pk <= 0:
-                # DGCNN returns a bare array for with_posenc_alpha=0; the
-                # tuple unpack below would then silently iterate the batch
-                # axis (ADVICE r4). The reference has no pos_k=0 mode either
-                # (models/attn.py:59-75 always builds the angle branch).
-                raise ValueError(f"cfg.pos_k must be > 0, got {pk}")
             # the fused DGCNN kernels (eval AND the train custom-VJP path)
-            # emit the pos-enc angle features from their own neighbour
-            # selection — the standalone angle pass was ~1.4 ms of both
-            # the eval forward and the train step (profiles/r4). alpha is
-            # None on the naive/CPU paths and pos_enc falls through.
-            src_feats, a_src = dgcnn(src, train, nbr_idx=g_src,
-                                     with_posenc_alpha=pk)    # (B, N, D)
-            tgt_feats, a_tgt = dgcnn(tgt, train, nbr_idx=g_tgt,
-                                     with_posenc_alpha=pk)
+            # and the shared large-N gather all emit the pos-enc angle
+            # features along the way — the standalone angle pass was
+            # ~1.4 ms of both the eval forward and the train step
+            # (profiles/r4). alpha is None on the small-N naive/CPU paths
+            # and pos_enc falls through.
+            pk = cfg.pos_k
+            src_feats, a_src, g_src = encode(src)             # (B, N, D)
+            tgt_feats, a_tgt, g_tgt = encode(tgt)
             src_anchor0 = index_points(src_feats, src_ids[0])  # (B, km, D)
             tgt_anchor0 = index_points(tgt_feats, tgt_ids[0])
             src_t = src_feats + pos_enc(

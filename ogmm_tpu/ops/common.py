@@ -160,6 +160,55 @@ def knn(src: jnp.ndarray, tgt: jnp.ndarray, k: int,
     return idx
 
 
+def knn_self_vspace(x: jnp.ndarray, k: int,
+                    use_pallas: bool | None = None):
+    """Self-kNN graph in the cheapest index space: (B, N, 3) ->
+    (xs, idx (B, N, k) int32, inv).
+
+    `inv is None` means the graph is in ORIGINAL point order and `xs is x`
+    (small/medium N, or a non-TPU backend — the spaces coincide). Otherwise
+    the graph lives in Morton-sorted space: `idx` indexes rows of the
+    sorted cloud `xs`, row r of `idx` describes sorted row r of `xs`, and
+    per-point outputs computed in that order map back to original order
+    with one row gather, `take_along_axis(out_s, inv[..., None], axis=1)`.
+
+    Consumers that only gather coordinates through the graph (DGCNN edge
+    features, PositionEncoding angles — the whole large-N model path) use
+    this instead of `knn(x, x, k)` to skip knn_self_spatial's
+    sorted->original id remap, the second-largest op of the indoor eval
+    forward (14.1 ms/fwd at N=35k, profiles/r3 2026_08_19 trace). The
+    neighbour sets/order/tie rule match `knn` up to the documented
+    knn_self_spatial tie contract.
+    """
+    _, N, C = x.shape
+    if use_pallas is None:
+        from ogmm_tpu.ops.dispatch import use_pallas as _auto
+        use_pallas = _auto()
+    if use_pallas and N > _PALLAS_FULL_M and C == 3:
+        from ogmm_tpu.ops.pallas_stream import knn_self_vspace as _kv
+        return _kv(x, k)
+    return x, knn(x, x, k, use_pallas=use_pallas), None
+
+
+def posenc_alpha(x: jnp.ndarray, nbr: jnp.ndarray,
+                 centroid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """PositionEncoding angle features from PRE-GATHERED neighbours:
+    cos(angle(p -> nbr_j, p -> centroid)) — x (B, N, 3), nbr (B, N, k, 3)
+    -> (B, N, k) f32.
+
+    Matches the angle branch of nn/attention.py:PositionEncoding
+    (reference models/attn.py:59-75) bit-for-bit given the same gathered
+    neighbour coordinates; callers that already hold the (B, N, k, 3)
+    gather (the shared large-N graph path) use this to skip the second
+    prefix gather. A coincident neighbour (the self point at j=0) yields
+    p2lc = 0 -> alpha 0, same as every other alpha producer.
+    """
+    if centroid is None:
+        centroid = x.mean(axis=1, keepdims=True)
+    p2gc = l2_normalize(x - centroid)                      # (B, N, 3)
+    p2lc = l2_normalize(nbr - x[:, :, None, :])            # (B, N, k, 3)
+    return jnp.einsum('bnkc,bnc->bnk', p2lc, p2gc,
+                      preferred_element_type=jnp.float32)
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather rows: (B, N, C) indexed by int (B, S) -> (B, S, C).
 

@@ -41,6 +41,36 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _run_stages(e, ws, bs, k: int, TN: int, dt):
+    """The shared DGCNN stage chain over one VMEM-resident edge block:
+    (k*TN, 6) -> (TN, emb). Four Dense(+folded-BN bias)+ReLU stages, a max
+    over the k neighbour slots (edge rows are stacked k-major: row j*TN+r
+    is query r's j-th neighbour), the 4-tap concat, and the final Dense.
+    ws/bs: the 5 stage weights (BN scale pre-folded) and biases, already
+    cast to the compute dtype."""
+    w1, w2, w3, w4, w5 = ws
+    b1, b2, b3, b4, b5 = bs
+
+    def mm(h, w):
+        return jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def stage(h, w, b):
+        return jnp.maximum(mm(h, w).astype(dt) + b, 0)
+
+    h1 = stage(e, w1, b1)                                    # (k*TN, 64)
+    h2 = stage(h1, w2, b2)                                   # (k*TN, 64)
+    h3 = stage(h2, w3, b3)                                   # (k*TN, 128)
+    h4 = stage(h3, w4, b4)                                   # (k*TN, 256)
+
+    def kmax(h):
+        return jnp.max(h.reshape(k, TN, h.shape[-1]), axis=0)
+
+    cat = jnp.concatenate([kmax(h1), kmax(h2), kmax(h3), kmax(h4)],
+                          axis=-1)                           # (TN, 512)
+    return jnp.maximum(mm(cat, w5).astype(dt) + b5, 0)
+
+
 def _dgcnn_kernel(xt_ref, xf_ref,
                   w1_ref, a1_ref, w2_ref, a2_ref, w3_ref, a3_ref,
                   w4_ref, a4_ref, w5_ref, a5_ref, out_ref, *rest,
@@ -139,24 +169,8 @@ def _dgcnn_kernel(xt_ref, xf_ref,
     e = jnp.concatenate(edges, axis=0)                       # (k*TN, 6)
 
     # ---- one stage chain over the whole edge block ------------------------
-    def mm(h, w):
-        return jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def stage(h, w, b):
-        return jnp.maximum(mm(h, w).astype(dt) + b, 0)
-
-    h1 = stage(e, w1, b1)                                    # (k*TN, 64)
-    h2 = stage(h1, w2, b2)                                   # (k*TN, 64)
-    h3 = stage(h2, w3, b3)                                   # (k*TN, 128)
-    h4 = stage(h3, w4, b4)                                   # (k*TN, 256)
-
-    def kmax(h):
-        return jnp.max(h.reshape(k, TN, h.shape[-1]), axis=0)
-
-    cat = jnp.concatenate([kmax(h1), kmax(h2), kmax(h3), kmax(h4)],
-                          axis=-1)                           # (TN, 512)
-    out_ref[0] = jnp.maximum(mm(cat, w5).astype(dt) + b5, 0)
+    out_ref[0] = _run_stages(e, (w1, w2, w3, w4, w5),
+                             (b1, b2, b3, b4, b5), k, TN, dt)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "dtype",
@@ -223,3 +237,90 @@ def dgcnn_eval_pallas(x: jnp.ndarray, weights, affines, k: int = 20,
         out_shape=out_shape,
         interpret=interpret,
     )(x.astype(jnp.float32), x.astype(jnp.float32), *ops)
+
+
+def _dgcnn_edges_kernel(xt_ref, nb_ref,
+                        w1_ref, a1_ref, w2_ref, a2_ref, w3_ref, a3_ref,
+                        w4_ref, a4_ref, w5_ref, a5_ref, out_ref,
+                        *, k: int, dtype):
+    q = xt_ref[0]                          # (TN, 3) f32 query tile
+    TN = q.shape[0]
+    dt = dtype
+    qc = q.astype(dt)
+    ws = tuple(r[:].astype(dt) for r in
+               (w1_ref, w2_ref, w3_ref, w4_ref, w5_ref))
+    bs = tuple(r[0].astype(dt) for r in
+               (a1_ref, a2_ref, a3_ref, a4_ref, a5_ref))
+
+    # edge rows stacked k-major, matching _run_stages's kmax layout. The
+    # offset nbr - q is formed in f32 THEN cast — the jnp fallback's exact
+    # cast point (graph_feature concatenates f32, nn/dgcnn.py casts after),
+    # and the lesson of the r4/r5 alpha regression: near-neighbour offsets
+    # are ~100x smaller than the coordinates carrying them, so rounding the
+    # coordinates BEFORE the subtract destroys the offset.
+    edges = []
+    for j in range(k):
+        edges.append(jnp.concatenate([(nb_ref[0, j] - q).astype(dt), qc],
+                                     axis=-1))
+    e = jnp.concatenate(edges, axis=0)     # (k*TN, 6)
+    out_ref[0] = _run_stages(e, ws, bs, k, TN, dt)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "dtype",
+                                             "interpret"))
+def dgcnn_edges_pallas(x: jnp.ndarray, nbr: jnp.ndarray, weights, affines,
+                       k: int = 20, tile_n: int | None = None,
+                       dtype=jnp.bfloat16, interpret: bool = False):
+    """Large-N fused DGCNN eval stage chain over a PRE-GATHERED graph:
+    x (B, N, 3) + nbr (B, N, k, 3) neighbour coordinates -> (B, N, 512).
+
+    The whole-cloud fused kernel (dgcnn_eval_pallas) holds a (TN, N)
+    distance block in VMEM and tops out at N ~ 1024; at indoor scale
+    (N ~ 35k) the kNN graph comes from the Morton-streamed kernels and the
+    naive jnp composition then round-trips every (B, N, k, C) stage tensor
+    through HBM (~2.9 GB at N=35k/k=20/bf16). This kernel runs the four
+    edge-conv stages + k-max + final Dense per 128-query tile entirely in
+    VMEM: traffic is the (B, N, k, 3) f32 neighbour block in (the one
+    tensor the composition needs anyway) and (B, N, 512) features out.
+
+    Weights/affines as dgcnn_eval_pallas (BN folded from running stats —
+    eval only, no VJP). Same math as the naive composition fed the same
+    graph; the only rounding difference in bf16 mode is fusion order.
+    Reference being fused: models/dgcnn.py:118-154.
+    """
+    B, N, _ = x.shape
+    assert nbr.shape[:3] == (B, N, k), (nbr.shape, (B, N, k))
+    tile_n = min(tile_n or 128, N)
+    grid = (B, pl.cdiv(N, tile_n))
+    emb = weights[4].shape[1]
+    kern = functools.partial(_dgcnn_edges_kernel, k=k, dtype=dtype)
+
+    def full(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda b, i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    ops = []
+    specs = []
+    for w, (s, bias) in zip(weights, affines):
+        ws = (w * s[None, :]).astype(jnp.float32)             # fold BN scale
+        a = bias.astype(jnp.float32)[None, :]                 # (1, C)
+        ops.extend([ws, a])
+        specs.extend([full(ws), full(a)])
+
+    # k-major neighbour layout: each (1, k, tile_n, 3) block is this tile's
+    # whole neighbourhood, and the kernel's per-j slices are leading-dim
+    # indexing (no in-kernel transposes)
+    nbt = jnp.swapaxes(nbr.astype(jnp.float32), 1, 2)         # (B, k, N, 3)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_n, 3), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k, tile_n, 3), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM)] + specs,
+        out_specs=pl.BlockSpec((1, tile_n, emb), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, emb), dtype),
+        interpret=interpret,
+    )(x.astype(jnp.float32), nbt, *ops)

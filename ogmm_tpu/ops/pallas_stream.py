@@ -618,6 +618,59 @@ def _morton3(x: jnp.ndarray, box=None) -> jnp.ndarray:
             | (spread(q[..., 2]) << 2))
 
 
+def _knn_self_sorted(x: jnp.ndarray, k: int, tile_n: int, tile_m: int,
+                     interpret: bool, dyn_select: bool):
+    """Shared core of knn_self_spatial / knn_self_vspace: Morton-sort the
+    cloud, build the AABB cull table, stream the self-kNN in sorted space.
+    Returns (xs sorted cloud, idx_s sorted-space graph over xs, order) where
+    order[b, r] is the ORIGINAL id of sorted row r."""
+    B, N, _ = x.shape
+    order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)   # (B, N)
+    xs = jnp.take_along_axis(x, order[..., None], axis=1)
+    # Per-tile AABBs of the sorted cloud -> exact-math lower bounds on the
+    # squared distance any (n_tile, m_tile) block can produce. Morton
+    # sorting makes tiles spatially compact, so most off-diagonal bounds
+    # are large and the kernel culls those blocks before the distance
+    # matmul (see _knn_stream_kernel).
+    lb = _tile_pair_bounds(xs, min(tile_n, N), min(tile_m, N))
+    idx_s = knn_stream(xs, xs, k, tile_n=tile_n, tile_m=tile_m,
+                       interpret=interpret, diag_order=True,
+                       cull_lb=lb, dyn_select=dyn_select)         # sorted ids
+    return xs, idx_s, order
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
+                                             "interpret", "dyn_select"))
+def knn_self_vspace(x: jnp.ndarray, k: int,
+                    tile_n: int = 64, tile_m: int = 4096,
+                    interpret: bool = False,
+                    dyn_select: bool = False):
+    """Self-graph kNN that STAYS in Morton-sorted space: (B, N, 3) ->
+    (xs (B,N,3), idx_s int32 (B,N,k), inv int32 (B,N)).
+
+    knn_self_spatial maps the sorted-space result back to original point
+    order — an s32 (B*N*k) scalar gather through the Morton permutation
+    that was the second-largest op of the whole indoor eval forward
+    (14.1 ms/fwd at N=35k, profiles/r3 2026_08_19 trace) even though no
+    model consumer needs original-space ids: DGCNN's edge features and the
+    PositionEncoding angles both only gather COORDINATES through the
+    graph. This variant returns the graph in sorted space together with
+    the sorted cloud: consumers gather coordinates from `xs` with `idx_s`,
+    compute their per-point outputs in sorted row order, and un-sort the
+    final FEATURES once with `inv` (`out_orig = take_along_axis(out_s,
+    inv[..., None], axis=1)`) — one wide-row gather of the (B, N, C)
+    result instead of per-edge id remapping.
+
+    Same neighbour sets, per-row ascending distance, and tie rule as
+    knn_self_spatial (row r of idx_s describes original point
+    order[b, r]; idx_s values index rows of xs).
+    """
+    xs, idx_s, order = _knn_self_sorted(x, k, tile_n, tile_m, interpret,
+                                        dyn_select)
+    inv = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    return xs, idx_s, inv
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_m",
                                              "interpret", "dyn_select"))
 def knn_self_spatial(x: jnp.ndarray, k: int,
@@ -648,17 +701,8 @@ def knn_self_spatial(x: jnp.ndarray, k: int,
     and tile_n <= 128 until re-validated.
     """
     B, N, _ = x.shape
-    order = jnp.argsort(_morton3(x), axis=-1).astype(jnp.int32)   # (B, N)
-    xs = jnp.take_along_axis(x, order[..., None], axis=1)
-    # Per-tile AABBs of the sorted cloud -> exact-math lower bounds on the
-    # squared distance any (n_tile, m_tile) block can produce. Morton
-    # sorting makes tiles spatially compact, so most off-diagonal bounds
-    # are large and the kernel culls those blocks before the distance
-    # matmul (see _knn_stream_kernel).
-    lb = _tile_pair_bounds(xs, min(tile_n, N), min(tile_m, N))
-    idx_s = knn_stream(xs, xs, k, tile_n=tile_n, tile_m=tile_m,
-                       interpret=interpret, diag_order=True,
-                       cull_lb=lb, dyn_select=dyn_select)         # sorted ids
+    xs, idx_s, order = _knn_self_sorted(x, k, tile_n, tile_m, interpret,
+                                        dyn_select)
     # sorted-space neighbour ids -> original ids
     orig = jnp.take_along_axis(order, idx_s.reshape(B, -1),
                                axis=1).reshape(B, N, k)

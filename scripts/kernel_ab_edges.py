@@ -116,32 +116,47 @@ def main():
         finally:
             pd.dgcnn_edges_pallas = orig_edges
 
-    # ---- [2] full indoor eval forward --------------------------------------
+    # ---- [2] full indoor eval forward: routing variants --------------------
+    # r4-control = original-order graph + naive stages (the BENCH_r04/r5a
+    # configuration); vspace = sorted-space graph, one shared gather, one
+    # feature un-sort; +edges = the fused stage-chain kernel on top.
     B = 1
     cfg = indoor().model
-    for fe in (False, True):
+    variants2 = [("r4-control", False, False, None),
+                 ("vspace", True, False, None),
+                 ("vspace+edges tile_n=128", True, True, 128),
+                 ("vspace+edges tile_n=256", True, True, 256)]
+    gv = None
+    for label, vs, fe, tn in variants2:
         mcfg = dataclasses.replace(cfg, dtype="bfloat16",
-                                   dgcnn_fused_edges=fe)
+                                   dgcnn_vspace=vs, dgcnn_fused_edges=fe)
         gm = GMMReg(cfg=mcfg)
         s0, t0_ = surface(10, B)[0], surface(11, B)[0]
-        gv = gm.init({'params': jax.random.PRNGKey(0)}, s0, t0_, train=False)
+        if gv is None:
+            gv = gm.init({'params': jax.random.PRNGKey(0)}, s0, t0_,
+                         train=False)
 
-        def fwd(ss, ts):
+        def fwd(ss, ts, _gm=gm):
             def body(c, st):
-                rot, trans, *_ = gm.apply(gv, st[0], st[1], train=False,
-                                          is_test=False)
+                rot, trans, *_ = _gm.apply(gv, st[0], st[1], train=False,
+                                           is_test=False)
                 return c + rot.astype(jnp.float32).sum(), None
             return jax.lax.scan(body, jnp.zeros(()), (ss, ts))[0]
 
         f = jax.jit(fwd)
         stacks = [(surface(20 + i, B), surface(30 + i, B)) for i in range(4)]
         try:
+            if tn is not None:
+                pd.dgcnn_edges_pallas = functools.partial(orig_edges,
+                                                          tile_n=tn)
             ms = timed(f, stacks)
-            print(f"indoor eval fwd B=1 N={N} dgcnn_fused_edges={fe}: "
-                  f"{ms:.1f} ms/pair", flush=True)
+            print(f"indoor eval fwd B=1 N={N} {label}: {ms:.1f} ms/pair",
+                  flush=True)
         except Exception as e:
-            print(f"indoor fwd fused_edges={fe}: FAILED {type(e).__name__}: "
+            print(f"indoor fwd {label}: FAILED {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
+        finally:
+            pd.dgcnn_edges_pallas = orig_edges
 
 
 if __name__ == "__main__":

@@ -28,10 +28,16 @@ def main():
     assert jax.devices()[0].platform == "tpu"
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 35000
     B = 1
+    # "control" restores the r4 original-order graph routing
+    # (dgcnn_vspace=False) for the round-5c train-step A/B
+    control = len(sys.argv) > 2 and sys.argv[2] == "control"
     cfg = indoor()
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, dtype="bfloat16"),
+        model=dataclasses.replace(cfg.model, dtype="bfloat16",
+                                  dgcnn_vspace=(False if control else None)),
         train=dataclasses.replace(cfg.train, batch_size=B))
+    if control:
+        print("routing: r4 control (dgcnn_vspace=False)", flush=True)
     rs = np.random.RandomState(0)
 
     def batch(seed):

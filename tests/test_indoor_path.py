@@ -85,3 +85,61 @@ def test_indoor_welsch_chunked(rng, monkeypatch):
     out = welsch_loss(src, tgt, tsfm, so, to, alpha=10.0, top_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_indoor_vspace_matches_original_order_routing(indoor_model_cfg, rng):
+    """The round-5 v-space graph routing (sorted-space graph + one
+    coordinate gather + one feature un-sort, ops/common.py:knn_self_vspace)
+    vs the round-4 original-order routing (dgcnn_vspace=False): identical
+    math, so the full forward must agree to fp-reduction tolerance."""
+    B, N = 1, 1200                       # > 1024 -> shared graph engages
+    src = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    tgt = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+
+    model = GMMReg(cfg=indoor_model_cfg)
+    v = model.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    out = model.apply(v, src, tgt, train=False, is_test=False)
+
+    ctrl_cfg = dataclasses.replace(indoor_model_cfg, dgcnn_vspace=False)
+    ref = GMMReg(cfg=ctrl_cfg).apply(v, src, tgt, train=False, is_test=False)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    # train mode rides the same routing (the indoor train step): loss grads
+    # must flow and stay finite through the gather/un-sort pair
+    def loss(params):
+        o, _ = model.apply({'params': params,
+                            'batch_stats': v['batch_stats']},
+                           src, tgt, train=True, mutable=['batch_stats'])
+        rot, trans, so, to_, clu = o
+        return (rot.sum() + trans.sum() + so.sum() + to_.sum()
+                + clu).astype(jnp.float32)
+
+    g = jax.grad(loss)(v['params'])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
+def test_indoor_fused_edges_full_forward(indoor_model_cfg, rng, monkeypatch):
+    """cfg.dgcnn_fused_edges=True (the indoor TPU eval default) through the
+    whole GMMReg forward, kernel in interpreter mode: rotations must match
+    the naive stage chain to geometry tolerance."""
+    import functools
+    import ogmm_tpu.ops.pallas_dgcnn as pd
+
+    B, N = 1, 1100
+    src = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    tgt = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    model = GMMReg(cfg=indoor_model_cfg)
+    v = model.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    ref = model.apply(v, src, tgt, train=False, is_test=False)
+
+    monkeypatch.setattr(pd, "dgcnn_edges_pallas",
+                        functools.partial(pd.dgcnn_edges_pallas,
+                                          interpret=True))
+    fe_cfg = dataclasses.replace(indoor_model_cfg, dgcnn_fused_edges=True)
+    out = GMMReg(cfg=fe_cfg).apply(v, src, tgt, train=False, is_test=False)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

@@ -604,3 +604,62 @@ def test_knn_stream_diag_stretch_is_result_invariant(rng):
         out = knn_stream(src, tgt, 8, tile_n=64, tile_m=32, interpret=True,
                          diag_order=True, diag_stretch=s)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_knn_self_vspace_matches_spatial(rng):
+    """The v-space result, mapped back through (inv's inverse, inv),
+    equals knn_self_spatial bit-for-bit — same kernel, same tie rule; the
+    only difference is WHO pays the id remap (here: nobody)."""
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial, knn_self_vspace
+
+    u = rng.rand(2, 300, 2).astype(np.float32)
+    z = (np.sin(3 * u[..., :1]) * np.cos(2 * u[..., 1:])).astype(np.float32)
+    x = jnp.asarray(np.concatenate([u, 0.3 * z], axis=-1))
+    B, N, k = 2, 300, 10
+
+    xs, idx_s, inv = knn_self_vspace(x, k, tile_n=64, tile_m=64,
+                                     interpret=True)
+    ref = knn_self_spatial(x, k, tile_n=64, tile_m=64, interpret=True)
+
+    order = np.argsort(np.asarray(inv), axis=-1)        # inv's inverse
+    # xs is x reordered by `order`
+    np.testing.assert_array_equal(
+        np.asarray(xs), np.take_along_axis(np.asarray(x),
+                                           order[..., None], axis=1))
+    # sorted-space ids -> original ids -> original row order == spatial
+    orig = np.take_along_axis(order, np.asarray(idx_s).reshape(B, -1),
+                              axis=1).reshape(B, N, k)
+    back = np.take_along_axis(orig, np.asarray(inv)[..., None], axis=1)
+    np.testing.assert_array_equal(back, np.asarray(ref))
+
+
+def test_knn_self_vspace_coordinate_gather_equivalence(rng):
+    """What the model actually consumes: gathering COORDINATES through the
+    v-space graph and un-sorting the per-point result equals gathering
+    through the original-order graph — no id remap needed anywhere."""
+    from ogmm_tpu.ops.common import gather_neighbors
+    from ogmm_tpu.ops.pallas_stream import knn_self_spatial, knn_self_vspace
+
+    x = jnp.asarray(rng.randn(2, 257, 3).astype(np.float32))
+    B, N, k = 2, 257, 6
+    xs, idx_s, inv = knn_self_vspace(x, k, tile_n=32, tile_m=64,
+                                     interpret=True)
+    ref_idx = knn_self_spatial(x, k, tile_n=32, tile_m=64, interpret=True)
+
+    nbr_s = gather_neighbors(xs, idx_s)                  # (B, N, k, 3)
+    nbr = jnp.take_along_axis(nbr_s.reshape(B, N, -1), inv[..., None],
+                              axis=1).reshape(B, N, k, 3)
+    np.testing.assert_array_equal(np.asarray(nbr),
+                                  np.asarray(gather_neighbors(x, ref_idx)))
+
+
+def test_knn_self_vspace_router_fallback(rng):
+    """ops/common.py:knn_self_vspace degenerates to the original-order
+    graph (inv None, xs is x) off-TPU / at small N."""
+    from ogmm_tpu.ops.common import knn_self_vspace as router
+
+    x = jnp.asarray(rng.randn(1, 120, 3).astype(np.float32))
+    xs, idx, inv = router(x, 5, use_pallas=False)
+    assert inv is None and xs is x
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.asarray(knn(x, x, 5, use_pallas=False)))
