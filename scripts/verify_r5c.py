@@ -35,7 +35,18 @@ Gates, compiled on the real chip at the indoor shape (N=35k, k=20):
      v-space+fused-edges — rotations must agree to geometry-grade
      tolerance (identical weights; only bf16 rounding order may differ).
 
-Usage: python scripts/verify_r5c.py [N]
+Process structure: the top-level invocation never initialises a TPU
+client — it orchestrates child processes, one for sections 1-3 and one
+PER section-4 variant. Several giant N=35k model compiles in one process
+kill the axon TPU worker (measured: the 3-variant in-process loop crashed
+at a DIFFERENT variant on each attempt, while every variant passes in a
+fresh process — debug_edges_chip3.py, /tmp/edges_full_fresh.log). Worker
+pressure, not a kernel fault; sections 1-3 stack encoder-scale programs
+only and are safe in one process.
+
+Usage: python scripts/verify_r5c.py [N]            # full gate
+       python scripts/verify_r5c.py N 123          # child: sections 1-3
+       python scripts/verify_r5c.py N 4 <variant>  # child: one fwd variant
 """
 import dataclasses
 import os
@@ -92,18 +103,27 @@ def _naive_f32_host(variables, x, idx, chunk=4096):
     return out
 
 
-def main():
+VARIANTS = {
+    "r4-control": dict(dgcnn_vspace=False, dgcnn_fused_edges=False),
+    "vspace": dict(dgcnn_vspace=True, dgcnn_fused_edges=False),
+    "vspace+edges": dict(dgcnn_vspace=True, dgcnn_fused_edges=True),
+}
+
+
+def _fwd_outfile(N, name):
+    return f"/tmp/r5c_fwd_{name.replace('+', '_')}_{N}.npz"
+
+
+def run_sections(N, sections):
+    """Sections 1-3, in one process (encoder-scale programs only)."""
     import jax
     import jax.numpy as jnp
-    from ogmm_tpu.configs import indoor
-    from ogmm_tpu.nn import GMMReg
     from ogmm_tpu.nn.dgcnn import DGCNN
     from ogmm_tpu.ops.common import gather_neighbors, posenc_alpha
     from ogmm_tpu.ops.pallas_stream import (knn_self_spatial,
                                             knn_self_vspace)
 
     print("platform:", jax.devices()[0].platform, flush=True)
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 35000
     k = 20
 
     # --- 1. v-space coordinate-gather equivalence at full shape -----------
@@ -121,99 +141,117 @@ def main():
     def spatial_nbr(a):
         return gather_neighbors(a, knn_self_spatial(a, k))
 
-    nv = np.asarray(vspace_nbr(x))
-    ns = np.asarray(spatial_nbr(x))
-    mism = np.mean(np.any(nv != ns, axis=-1))
-    print(f"vspace gather equivalence: mismatching entries {mism:.2e}",
-          flush=True)
-    assert mism == 0.0, mism
+    if "1" in sections:
+        nv = np.asarray(vspace_nbr(x))
+        ns = np.asarray(spatial_nbr(x))
+        mism = np.mean(np.any(nv != ns, axis=-1))
+        print(f"vspace gather equivalence: mismatching entries {mism:.2e}",
+              flush=True)
+        assert mism == 0.0, mism
 
     # --- 2. edges-fused encoder vs naive, same graph ----------------------
-    import functools
+    if "2" in sections:
+        import functools
 
-    import ogmm_tpu.ops.pallas_dgcnn as pd
-    idx = jax.jit(lambda a: knn_self_spatial(a, k))(x)
-    orig_edges = pd.dgcnn_edges_pallas
-    store = {}
+        import ogmm_tpu.ops.pallas_dgcnn as pd
+        idx = jax.jit(lambda a: knn_self_spatial(a, k))(x)
+        orig_edges = pd.dgcnn_edges_pallas
+        store = {}
 
-    store["v"] = DGCNN(emb_dims=512, k=k, dtype=None, fused=False,
-                       fused_edges=False).init(
-        jax.random.PRNGKey(0), x[:1, :256], train=False)
+        store["v"] = DGCNN(emb_dims=512, k=k, dtype=None, fused=False,
+                           fused_edges=False).init(
+            jax.random.PRNGKey(0), x[:1, :256], train=False)
 
-    def enc(dt, fused_edges, interpret=False):
-        m = DGCNN(emb_dims=512, k=k, dtype=dt, fused=False,
-                  fused_edges=fused_edges)
-        try:
-            if interpret:
-                pd.dgcnn_edges_pallas = functools.partial(orig_edges,
-                                                          interpret=True)
-            return np.asarray(jax.jit(
-                lambda a, i: m.apply(store["v"], a, train=False,
-                                     nbr_idx=i))(x, idx), np.float32)
-        finally:
-            pd.dgcnn_edges_pallas = orig_edges
+        def enc(dt, fused_edges, interpret=False):
+            m = DGCNN(emb_dims=512, k=k, dtype=dt, fused=False,
+                      fused_edges=fused_edges)
+            try:
+                if interpret:
+                    pd.dgcnn_edges_pallas = functools.partial(orig_edges,
+                                                              interpret=True)
+                return np.asarray(jax.jit(
+                    lambda a, i: m.apply(store["v"], a, train=False,
+                                         nbr_idx=i))(x, idx), np.float32)
+            finally:
+                pd.dgcnn_edges_pallas = orig_edges
 
-    # 2a. Mosaic lowering vs the interpreter, identical inputs
-    mosaic32 = enc(None, True)
-    interp32 = enc(None, True, interpret=True)
-    lower = float(np.max(
-        np.abs(mosaic32 - interp32) / (np.abs(interp32) + 1e-4)))
-    print(f"edges-fused lowering (mosaic vs interpret, f32): "
-          f"max rel err {lower:.2e}", flush=True)
-    assert lower < 1e-2, lower
+        # 2a. Mosaic lowering vs the interpreter, identical inputs
+        mosaic32 = enc(None, True)
+        interp32 = enc(None, True, interpret=True)
+        lower = float(np.max(
+            np.abs(mosaic32 - interp32) / (np.abs(interp32) + 1e-4)))
+        print(f"edges-fused lowering (mosaic vs interpret, f32): "
+              f"max rel err {lower:.2e}", flush=True)
+        assert lower < 1e-2, lower
 
-    # 2b. truth-anchored, both dtypes, vs REAL f32 on the host
-    truth = _naive_f32_host(store["v"], np.asarray(x, np.float32),
-                            np.asarray(idx))
-    naive32 = enc(None, False)
-    naive16 = enc("bfloat16", False)
-    kern16 = enc("bfloat16", True)
-    floor = float(np.sqrt(np.mean(truth ** 2)))
+        # 2b. truth-anchored, both dtypes, vs REAL f32 on the host
+        truth = _naive_f32_host(store["v"], np.asarray(x, np.float32),
+                                np.asarray(idx))
+        naive32 = enc(None, False)
+        naive16 = enc("bfloat16", False)
+        kern16 = enc("bfloat16", True)
+        floor = float(np.sqrt(np.mean(truth ** 2)))
 
-    def dev(a):
-        d = np.abs(a - truth) / (np.abs(truth) + floor)
-        return float(d.mean()), float(np.percentile(d, 99))
+        def dev(a):
+            d = np.abs(a - truth) / (np.abs(truth) + floor)
+            return float(d.mean()), float(np.percentile(d, 99))
 
-    for lab, kern_out, naive_out in (("float32", mosaic32, naive32),
-                                     ("bfloat16", kern16, naive16)):
-        km, kp99 = dev(kern_out)
-        nm, np99 = dev(naive_out)
-        print(f"edges-fused encoder ({lab} vs host-f32 truth): kernel "
-              f"mean/p99 {km:.2e}/{kp99:.2e}, naive {nm:.2e}/{np99:.2e}",
-              flush=True)
-        assert km <= max(2.0 * nm, 1e-6) and kp99 <= max(2.0 * np99, 1e-5), (
-            lab, (km, nm), (kp99, np99))
+        for lab, kern_out, naive_out in (("float32", mosaic32, naive32),
+                                         ("bfloat16", kern16, naive16)):
+            km, kp99 = dev(kern_out)
+            nm, np99 = dev(naive_out)
+            print(f"edges-fused encoder ({lab} vs host-f32 truth): kernel "
+                  f"mean/p99 {km:.2e}/{kp99:.2e}, naive {nm:.2e}/{np99:.2e}",
+                  flush=True)
+            assert (km <= max(2.0 * nm, 1e-6)
+                    and kp99 <= max(2.0 * np99, 1e-5)), (
+                lab, (km, nm), (kp99, np99))
 
     # --- 3. shared-gather alpha vs the control alpha -----------------------
-    a_shared = np.asarray(jax.jit(
-        lambda a: posenc_alpha(a, vspace_nbr(a)[:, :, :5]))(x))
-    a_ctrl = np.asarray(jax.jit(
-        lambda a: posenc_alpha(a, spatial_nbr(a)[:, :, :5]))(x))
-    aerr = np.max(np.abs(a_shared - a_ctrl))
-    print(f"shared-gather alpha vs control: max err {aerr:.2e}", flush=True)
-    assert aerr < 1e-5, aerr
+    if "3" in sections:
+        a_shared = np.asarray(jax.jit(
+            lambda a: posenc_alpha(a, vspace_nbr(a)[:, :, :5]))(x))
+        a_ctrl = np.asarray(jax.jit(
+            lambda a: posenc_alpha(a, spatial_nbr(a)[:, :, :5]))(x))
+        aerr = np.max(np.abs(a_shared - a_ctrl))
+        print(f"shared-gather alpha vs control: max err {aerr:.2e}",
+              flush=True)
+        assert aerr < 1e-5, aerr
 
-    # --- 4. full indoor forward: rotations agree across routings ----------
-    base = indoor().model
+    print(f"verify_r5c sections {sections}: OK", flush=True)
+
+
+def child_fwd(N, name):
+    """Section-4 child: ONE full indoor forward variant, saved to npz."""
+    import jax
+    import jax.numpy as jnp
+    from ogmm_tpu.configs import indoor
+    from ogmm_tpu.nn import GMMReg
+
     src = jnp.asarray(surface(10, 1, N))
     tgt = jnp.asarray(surface(11, 1, N))
+    mcfg = dataclasses.replace(indoor().model, dtype="bfloat16",
+                               **VARIANTS[name])
+    gm = GMMReg(cfg=mcfg)
+    gv = gm.init({'params': jax.random.PRNGKey(0)}, src, tgt, train=False)
+    rot, trans, *_ = jax.jit(
+        lambda s, t: gm.apply(gv, s, t, train=False, is_test=False))(src,
+                                                                     tgt)
+    np.savez(_fwd_outfile(N, name), rot=np.asarray(rot, np.float32),
+             trans=np.asarray(trans, np.float32))
+    print(f"full fwd variant {name}: saved", flush=True)
+
+
+def orchestrate_sec4(N):
+    """Section 4: one child process per variant, then compare (numpy)."""
+    import subprocess
     outs = {}
-    variants = {
-        "r4-control": dict(dgcnn_vspace=False, dgcnn_fused_edges=False),
-        "vspace": dict(dgcnn_vspace=True, dgcnn_fused_edges=False),
-        "vspace+edges": dict(dgcnn_vspace=True, dgcnn_fused_edges=True),
-    }
-    for name, kw in variants.items():
-        mcfg = dataclasses.replace(base, dtype="bfloat16", **kw)
-        gm = GMMReg(cfg=mcfg)
-        if "gv" not in outs:
-            outs["gv"] = gm.init({'params': jax.random.PRNGKey(0)}, src, tgt,
-                                 train=False)
-        rot, trans, *_ = jax.jit(
-            lambda s, t, _gm=gm: _gm.apply(outs["gv"], s, t, train=False,
-                                           is_test=False))(src, tgt)
-        outs[name] = (np.asarray(rot, np.float32),
-                      np.asarray(trans, np.float32))
+    for name in VARIANTS:
+        print(f"full fwd variant {name}: subprocess...", flush=True)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        str(N), "4", name], check=True)
+        d = np.load(_fwd_outfile(N, name))
+        outs[name] = (d["rot"], d["trans"])
         assert np.all(np.isfinite(outs[name][0])), f"non-finite rot: {name}"
     ref_r, ref_t = outs["r4-control"]
     for name in ("vspace", "vspace+edges"):
@@ -231,6 +269,26 @@ def main():
         bar = 0.05 if name == "vspace" else 1.0
         assert float(ang.max()) < bar and dt_err < 0.02, (name, ang.max(),
                                                           dt_err)
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 35000
+    sections = sys.argv[2] if len(sys.argv) > 2 else "1234"
+    variant = sys.argv[3] if len(sys.argv) > 3 else None
+    if variant is not None:
+        child_fwd(N, variant)
+        return
+    pre = "".join(c for c in sections if c in "123")
+    if "4" not in sections:
+        run_sections(N, pre)
+        return
+    # the orchestrating process must never hold a TPU client while its
+    # children run — sections 1-3 go to a child process too
+    import subprocess
+    if pre:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        str(N), pre], check=True)
+    orchestrate_sec4(N)
     print("verify_r5c: OK")
 
 
