@@ -51,8 +51,12 @@ class ModelConfig:
     dgcnn_fused_train: bool | None = None
     # large-N fused DGCNN eval stage chain over the shared pre-gathered
     # graph (ops/pallas_dgcnn.py:dgcnn_edges_pallas — the indoor regime
-    # where the whole-cloud fused kernel can't fire). None = DGCNN's auto
-    # rule (eval + TPU + N > 1024 + supplied graph); True/False force it.
+    # where the whole-cloud fused kernel can't fire). None/False = off;
+    # True = opt-in (needs eval + a supplied graph). Chip parity is gated
+    # (verify_r5c) but no measured timing win at the indoor shape yet —
+    # the naive stage chain is only ~4 ms of the 124 ms forward
+    # (profiles/r3 2026_08_19), so this stays out of the default path per
+    # the measure-before-keeping rule.
     dgcnn_fused_edges: bool | None = None
     # large-N self-graph in Morton-sorted "v-space" (ops/common.py:
     # knn_self_vspace): the kNN graph stays in sorted row order, the edge/

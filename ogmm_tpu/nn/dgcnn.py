@@ -96,7 +96,8 @@ class DGCNN(nn.Module):
                  nbr_idx: jnp.ndarray | None = None,
                  nbr_pts: jnp.ndarray | None = None,
                  nbr_xyz: jnp.ndarray | None = None,
-                 with_posenc_alpha: int = 0):
+                 with_posenc_alpha: int = 0,
+                 posenc_centroid: jnp.ndarray | None = None):
         """x: (B, N, 3) points -> (B, N, emb_dims) features.
 
         `with_posenc_alpha` (static k2 > 0): return (feats, alpha) where
@@ -127,6 +128,14 @@ class DGCNN(nn.Module):
         gather. Mutually redundant with nbr_idx (nbr_xyz wins); when
         given, `with_posenc_alpha` is honoured on the naive and
         fused-edges paths too (alpha from the same f32 prefix).
+
+        `posenc_centroid` (B, 1, 3) optionally supplies the cloud centroid
+        for those alpha angles. When x lives in a permuted row space
+        (v-space), x.mean(axis=1) sums rows in a different order than the
+        original-order path — an f32 reduction-order difference the bf16
+        body amplifies to ~0.1 deg of rotation drift at indoor scale (r5c
+        chip gate). Callers pass the ORIGINAL-order centroid so the
+        v-space forward is math-identical to the control routing.
         """
         init = nn.initializers.lecun_normal()
         dims = [6] + list(_STAGES)
@@ -154,13 +163,14 @@ class DGCNN(nn.Module):
         fused_edges = self.fused_edges
         have_graph = nbr_xyz is not None or nbr_idx is not None
         if fused_edges is None:
-            from ogmm_tpu.ops.dispatch import use_pallas as _auto
-            # auto: the large-N eval regime where the whole-cloud kernel
-            # can't fire and the caller supplied a graph — the jnp stage
-            # chain there round-trips ~2.9 GB of (B, N, k, C) tensors
-            # through HBM per indoor forward
-            fused_edges = ((not train) and x.shape[1] > 1024 and have_graph
-                           and nbr_pts is None and _auto())
+            # OPT-IN (cfg.dgcnn_fused_edges=True): the kernel's chip parity
+            # is gated (verify_r5c sections 2a/2b: Mosaic lowering 3e-4,
+            # truth-anchored deviation equal to the naive path's in f32 AND
+            # bf16) but no timing win is measured at the indoor shape — the
+            # fresh profile (profiles/r3 2026_08_19) puts the naive stage
+            # chain at only ~4 ms of the 124 ms forward, and the repo rule
+            # is measure-before-keeping for default-path kernels.
+            fused_edges = False
         elif fused_edges and (train or not have_graph or nbr_pts is not None):
             # an explicit force must not silently take the naive path
             raise ValueError(
@@ -182,7 +192,8 @@ class DGCNN(nn.Module):
             if with_posenc_alpha:
                 # from the same f32 neighbour block — the angle math never
                 # sees rounded coordinates (the r4/r5 alpha lesson)
-                return out, posenc_alpha(x, nbr[:, :, :with_posenc_alpha])
+                return out, posenc_alpha(x, nbr[:, :, :with_posenc_alpha],
+                                         posenc_centroid)
             return out
 
         fused_train = self.fused_train
@@ -234,7 +245,8 @@ class DGCNN(nn.Module):
             e = jnp.concatenate([nbr_xyz - center, center], axis=-1)
             if with_posenc_alpha:
                 from ogmm_tpu.ops.common import posenc_alpha
-                alpha = posenc_alpha(x, nbr_xyz[:, :, :with_posenc_alpha])
+                alpha = posenc_alpha(x, nbr_xyz[:, :, :with_posenc_alpha],
+                                     posenc_centroid)
         else:
             idx = nbr_idx if nbr_idx is not None else knn(x, x, self.k)
             e = graph_feature(x, self.k, idx=idx, nbr_pts=nbr_pts)  # (B,N,k,6)

@@ -207,7 +207,12 @@ class GMMReg(nn.Module):
                 return f, a, g
             xs, idx, inv = _kv(pts, cfg.gnn_k)
             nbr = gather_neighbors(xs, idx)      # the ONE coordinate gather
-            f, a = dgcnn(xs, train, nbr_xyz=nbr, with_posenc_alpha=cfg.pos_k)
+            # the pos-enc centroid sums 35k rows: do it in ORIGINAL row
+            # order (the r5c gate measured 0.097 deg of rot drift from the
+            # sorted-order sum alone — f32 reduction order, bf16-amplified)
+            cen = pts.mean(axis=1, keepdims=True)
+            f, a = dgcnn(xs, train, nbr_xyz=nbr, with_posenc_alpha=cfg.pos_k,
+                         posenc_centroid=cen)
             if inv is not None:
                 f = jnp.take_along_axis(f, inv[..., None], axis=1)
                 a = jnp.take_along_axis(a, inv[..., None], axis=1)

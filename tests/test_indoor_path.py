@@ -122,9 +122,10 @@ def test_indoor_vspace_matches_original_order_routing(indoor_model_cfg, rng):
 
 
 def test_indoor_fused_edges_full_forward(indoor_model_cfg, rng, monkeypatch):
-    """cfg.dgcnn_fused_edges=True (the indoor TPU eval default) through the
-    whole GMMReg forward, kernel in interpreter mode: rotations must match
-    the naive stage chain to geometry tolerance."""
+    """cfg.dgcnn_fused_edges=True (opt-in — chip parity gated by
+    verify_r5c but no measured indoor timing win) through the whole GMMReg
+    forward, kernel in interpreter mode: rotations must match the naive
+    stage chain to geometry tolerance."""
     import functools
     import ogmm_tpu.ops.pallas_dgcnn as pd
 

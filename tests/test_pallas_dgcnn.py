@@ -138,7 +138,7 @@ def test_with_posenc_alpha_none_on_naive_path(rng):
 # ---------------------------------------------------------------------------
 
 def _edges_apply(model, variables, x, idx=None, nbr=None, tile_n=64,
-                 with_posenc_alpha=0):
+                 with_posenc_alpha=0, posenc_centroid=None):
     """Run the fused_edges path with the kernel in interpreter mode."""
     import functools
     import ogmm_tpu.ops.pallas_dgcnn as pd
@@ -149,7 +149,8 @@ def _edges_apply(model, variables, x, idx=None, nbr=None, tile_n=64,
         pd.dgcnn_edges_pallas = functools.partial(orig, interpret=True,
                                                   tile_n=tile_n)
         return fused.apply(variables, x, train=False, nbr_idx=idx,
-                           nbr_xyz=nbr, with_posenc_alpha=with_posenc_alpha)
+                           nbr_xyz=nbr, with_posenc_alpha=with_posenc_alpha,
+                           posenc_centroid=posenc_centroid)
     finally:
         pd.dgcnn_edges_pallas = orig
 
@@ -227,6 +228,31 @@ def test_edges_fused_nbr_xyz_and_alpha(rng):
     np.testing.assert_allclose(
         np.asarray(alpha), np.asarray(posenc_alpha(x, nbr[:, :, :5])),
         rtol=1e-6, atol=1e-6)
+
+
+def test_posenc_centroid_plumbing(rng):
+    """posenc_centroid overrides the alpha centroid on BOTH nbr_xyz paths
+    (naive and edges-fused). The v-space caller (nn/gmmreg.py) passes the
+    ORIGINAL-order centroid so a permuted-row x cannot change the f32
+    reduction order — the r5c chip gate measured 0.097 deg of rotation
+    drift from the sorted-order sum alone."""
+    from ogmm_tpu.ops.common import gather_neighbors, knn, posenc_alpha
+    x = jnp.asarray(rng.randn(1, 80, 3).astype(np.float32) * 0.4)
+    cen = jnp.asarray(rng.randn(1, 1, 3).astype(np.float32) * 0.1)
+    model = DGCNN(emb_dims=64, k=8, fused=False, fused_edges=False)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    idx = knn(x, x, 8, use_pallas=False)
+    nbr = gather_neighbors(x, idx)
+    want = np.asarray(posenc_alpha(x, nbr[:, :, :5], cen))
+    assert not np.allclose(want, np.asarray(posenc_alpha(x, nbr[:, :, :5])))
+    _, a_naive = model.apply(v, x, train=False, nbr_xyz=nbr,
+                             with_posenc_alpha=5, posenc_centroid=cen)
+    _, a_kern = _edges_apply(model, v, x, nbr=nbr, with_posenc_alpha=5,
+                             posenc_centroid=cen)
+    np.testing.assert_allclose(np.asarray(a_naive), want, rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_kern), want, rtol=1e-6,
+                               atol=1e-6)
 
 
 def test_naive_nbr_xyz_matches_nbr_idx(rng):
